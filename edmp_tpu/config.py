@@ -1,0 +1,148 @@
+"""Config system: benchmark + guide-ensemble YAMLs (reference-compatible).
+
+Reads the same YAML formats as the reference (``benchmark/cfgs/*.yaml`` and
+``guides/cfgs/guide*.yaml``) and compiles the guide ensemble into the
+per-sample hyperparameter arrays that the TPU kernels consume — the ensemble
+IS the config system's runtime representation (infer_serial.py:56-91).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Sequence
+
+import numpy as np
+import yaml
+
+from edmp_tpu import constants as C
+from edmp_tpu.costs.guide import GuideParams
+
+
+@dataclasses.dataclass
+class GuideConfig:
+    """One guide's hyperparameters (guides/cfgs/guide*.yaml schema)."""
+
+    clearance_range: tuple  # linspace endpoints over T steps
+    # expansion: 3 index-segment/value-range pairs ((lo, hi), (v0, v1))
+    expansion_segments: tuple
+    guidance_method: str    # 'iv' | 'sv'
+    grad_norm: bool
+    schedule_type: str      # 'constant' | 'varying'
+    scale_val: float
+    volume_trust_region: float
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "GuideConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        h = raw["hyperparameters"]
+        oe = h["obstacle_expansion"]
+        segments = tuple(
+            (tuple(oe[f"isr{k}"]), tuple(oe[f"val{k}"])) for k in (1, 2, 3)
+        )
+        return cls(
+            clearance_range=tuple(h["obstacle_clearance"]["range"]),
+            expansion_segments=segments,
+            guidance_method=h["guidance_method"],
+            grad_norm=bool(h["grad_norm"]),
+            schedule_type=h["guidance_schedule"]["type"],
+            scale_val=float(h["guidance_schedule"]["scale_val"]),
+            volume_trust_region=float(h["volume_trust_region"]),
+        )
+
+
+def load_guide_set(guide_dir: str, guide_ids: Sequence[int]) -> List[GuideConfig]:
+    """Load guides by id; the FILENAME number is authoritative (the yaml's
+    ``index`` field is stale for several guides and never read,
+    infer_serial.py:73)."""
+    return [
+        GuideConfig.from_yaml(os.path.join(guide_dir, "cfgs", f"guide{g}.yaml"))
+        for g in guide_ids
+    ]
+
+
+def pack_ensemble(guides: Sequence[GuideConfig], batch_per_guide: int,
+                  T: int = C.DEFAULT_T):
+    """Compile H guide configs into per-sample arrays of batch H*B.
+
+    Exact packing semantics of infer_serial.py:59-91.  Returns
+    ``(GuideParams, volume_trust_region (H*B,))``.
+    """
+    H = len(guides)
+    B = H * batch_per_guide
+    clearance = np.zeros((B, T))
+    expansion = np.zeros((B, T))
+    method = np.zeros(B)
+    gnorm = np.zeros(B)
+    sched = np.zeros((B, T))
+    vtr = np.zeros(B)
+
+    for i, g in enumerate(guides):
+        rows = slice(i * batch_per_guide, (i + 1) * batch_per_guide)
+        clearance[rows, :] = np.linspace(g.clearance_range[0],
+                                         g.clearance_range[1], T)
+        for (lo, hi), (v0, v1) in g.expansion_segments:
+            expansion[rows, lo:hi] = np.linspace(v0, v1, num=abs(hi - lo))
+        method[rows] = 1.0 if g.guidance_method == "sv" else 0.0
+        gnorm[rows] = 1.0 if g.grad_norm else 0.0
+        if g.schedule_type == "varying":
+            sched[rows, :] = 1.4 + np.arange(T) / T
+        else:
+            sched[rows, :] = g.scale_val
+        vtr[rows] = g.volume_trust_region
+
+    import jax.numpy as jnp
+
+    gp = GuideParams(
+        clearance=jnp.asarray(clearance, jnp.float32),
+        expansion=jnp.asarray(expansion, jnp.float32),
+        guidance_method=jnp.asarray(method, jnp.float32),
+        grad_norm=jnp.asarray(gnorm, jnp.float32),
+        guidance_schedule=jnp.asarray(sched, jnp.float32),
+    )
+    return gp, vtr
+
+
+@dataclasses.dataclass
+class BenchmarkConfig:
+    """benchmark/cfgs/*.yaml schema (reference-compatible superset)."""
+
+    guide_ids: List[int]
+    batch_size_per_guide: int
+    guide_path: str
+    dataset_path: str
+    dataset_type: str
+    scene_types: List[str]
+    num_scenes_per_type: int
+    model_dir: str
+    T: int
+    traj_len: int
+    num_channels: int
+    save_dir: str = "./results/"
+    gui: bool = False  # accepted for config compat; no GUI on TPU hosts
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "BenchmarkConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        g, d, m = raw["guide"], raw["dataset"], raw["model"]
+        return cls(
+            guide_ids=list(g["guides"]),
+            batch_size_per_guide=int(g["batch_size_per_guide"]),
+            guide_path=g["guide_path"],
+            dataset_path=d["path"],
+            dataset_type=d["dataset_type"],
+            scene_types=list(d["scene_types"]),
+            num_scenes_per_type=int(d.get("num_scenes_per_type", -1)),
+            model_dir=m["model_dir"],
+            T=int(m["T"]),
+            traj_len=int(m["traj_len"]),
+            num_channels=int(m["num_channels"]),
+            save_dir=raw.get("general", {}).get("save_dir", "./results/"),
+            gui=bool(raw.get("general", {}).get("gui", False)),
+        )
+
+    @property
+    def total_batch_size(self) -> int:
+        return len(self.guide_ids) * self.batch_size_per_guide

@@ -1,0 +1,68 @@
+"""Synthetic scenes and planning problems.
+
+The real MPiNets pickles (global/hybrid/both solvable problems) are large
+external artifacts (README.md:53-58); tests, benchmarks and smoke training
+need self-contained problem generators with the same array schema:
+obstacle_config rows ``[center(3), quat_xyzw(4), dims(3)]``
+(datasets/load_test_dataset.py:150).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from edmp_tpu import constants as C
+
+
+def random_obstacle_config(rng: np.random.Generator, n_obstacles: int,
+                           workspace_radius: float = 0.9) -> np.ndarray:
+    """Boxes scattered through the reachable workspace shell."""
+    centers = rng.uniform(-workspace_radius, workspace_radius, (n_obstacles, 3))
+    centers[:, 2] = rng.uniform(0.1, 1.0, n_obstacles)
+    dims = rng.uniform(0.05, 0.35, (n_obstacles, 3))
+    axis = rng.normal(size=(n_obstacles, 3))
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    half = rng.uniform(0, np.pi, n_obstacles) / 2
+    quat = np.concatenate(
+        [axis * np.sin(half)[:, None], np.cos(half)[:, None]], axis=1)
+    return np.concatenate([centers, quat, dims], axis=1)
+
+
+def random_joint_config(rng: np.random.Generator, n: int = 1,
+                        margin: float = 0.1) -> np.ndarray:
+    lo = C.FRANKA_LOWER * (1 - margin)
+    hi = C.FRANKA_UPPER * (1 - margin)
+    return rng.uniform(lo, hi, (n, 7))
+
+
+def random_problem(rng: np.random.Generator, n_obstacles: int = 6,
+                   n_ik_goals: int = 16):
+    """A full synthetic planning problem.
+
+    Returns (obstacle_config, start (7,), ik_goals (K,7), ik_valid (K,)).
+    The candidate goals cluster around a common configuration the way the
+    100-seed IK sweep does around one Cartesian target.
+    """
+    obstacle_config = random_obstacle_config(rng, n_obstacles)
+    start = random_joint_config(rng)[0]
+    goal_center = random_joint_config(rng)[0]
+    ik_goals = goal_center[None, :] + rng.normal(0, 0.15, (n_ik_goals, 7))
+    ik_goals = np.clip(ik_goals, C.FRANKA_LOWER, C.FRANKA_UPPER)
+    n_valid = int(rng.integers(max(1, n_ik_goals // 2), n_ik_goals + 1))
+    ik_valid = np.zeros(n_ik_goals, bool)
+    ik_valid[:n_valid] = True
+    return obstacle_config, start, ik_goals, ik_valid
+
+
+def smooth_trajectories(rng: np.random.Generator, n: int,
+                        traj_len: int = C.DEFAULT_TRAJ_LEN) -> np.ndarray:
+    """Smooth random joint trajectories (B, N, 7) for training smoke tests:
+    cubic blends between random start/goal pairs plus a low-frequency bump."""
+    starts = random_joint_config(rng, n)
+    goals = random_joint_config(rng, n)
+    s = np.linspace(0.0, 1.0, traj_len)[None, :, None]
+    blend = 3 * s**2 - 2 * s**3  # smoothstep
+    base = starts[:, None, :] + blend * (goals - starts)[:, None, :]
+    amp = rng.normal(0, 0.1, (n, 1, 7))
+    bump = amp * np.sin(np.pi * s) ** 2 * rng.normal(0, 1, (n, 1, 7))
+    return (base + bump).astype(np.float32)

@@ -1,0 +1,173 @@
+"""Guided reverse-DDPM sampling as a single fused ``lax.scan``.
+
+The reference's hot loop (``diffusion/diffusion.py:300-356``) runs 255 Python
+iterations per scene, bouncing tensors host<->device every step.  Here the
+entire reverse process — UNet epsilon, posterior step, cadence-gated ensemble
+guidance, endpoint re-pinning — is one scan compiled by XLA; guidance steps
+are a ``lax.cond`` branch so odd timesteps skip the FK+cost gradient entirely.
+
+Reproduced reference quirks (each is load-bearing for success-rate parity,
+see SURVEY.md §7 risk register):
+  * reverse update adds ``beta_t * z`` noise (diffusion.py:133), z = 0 at t=1;
+  * guidance applies on even t with t >= 5, i.e. t in {6, 8, ..., 254}
+    (diffusion.py:326-327);
+  * the guide sees joint-limit-clipped interior waypoints, but the clip is
+    NOT written back to the state (diffusion.py:328-341);
+  * per-sample guidance scale indexed at t-1 (diffusion.py:341);
+  * endpoints re-pinned to start/goal after every step (diffusion.py:347-349).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from edmp_tpu import constants as C
+from edmp_tpu.costs.guide import GuideParams, guidance_gradient
+from edmp_tpu.costs.obstacles import SceneObstacles, obstacle_aabbs
+from edmp_tpu.diffusion.schedule import DiffusionSchedule
+
+_LOWER = jnp.asarray(C.JOINT_LIMITS_LOWER, jnp.float32)
+_UPPER = jnp.asarray(C.JOINT_LIMITS_UPPER, jnp.float32)
+
+
+def clip_joints(joints):
+    """Clip to the sampler's joint limits (diffusion/diffusion.py:280-298)."""
+    return jnp.clip(joints, _LOWER, _UPPER)
+
+
+def _pin_endpoints(x, start, goal):
+    x = x.at[:, 0, :].set(start)
+    x = x.at[:, -1, :].set(goal)
+    return x
+
+
+def denoise_guided(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    scene: SceneObstacles,
+    guide: GuideParams,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    batch_size: int,
+    traj_len: int = C.DEFAULT_TRAJ_LEN,
+    num_channels: int = C.DEFAULT_NUM_CHANNELS,
+    guidance_period: int = 2,
+    guidance_min_t: int = 5,
+):
+    """Run the full guided reverse process.  Returns (B, N, C) trajectories.
+
+    apply_fn(params, x, t) -> epsilon with x (B, N, C) and t a (1,) float.
+    """
+    T = schedule.T
+    start = jnp.asarray(start, jnp.float32)
+    goal = jnp.asarray(goal, jnp.float32)
+
+    init_key, loop_key = jax.random.split(rng)
+    x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
+    x = _pin_endpoints(x, start, goal)
+
+    def step(carry, t):
+        x = carry
+        tf = t.astype(jnp.float32)
+        eps = apply_fn(params, x, tf[None])
+
+        alpha = schedule.alpha[t - 1]
+        alpha_bar = schedule.alpha_bar[t - 1]
+        beta = schedule.beta[t - 1]
+
+        zkey = jax.random.fold_in(loop_key, t)
+        z = jax.random.normal(zkey, x.shape)
+        z = jnp.where(t == 1, 0.0, z)
+        x = (x - ((1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)) * eps) / jnp.sqrt(alpha)
+        x = x + beta * z
+
+        def guided(x):
+            interior = clip_joints(x[:, 1:-1, :])
+            obs_lo, obs_hi = obstacle_aabbs(
+                scene,
+                expansion=guide.expansion[:, t - 1],
+                clearance=guide.clearance[:, t - 1],
+            )
+            g = guidance_gradient(interior, start, goal, obs_lo, obs_hi, guide)
+            scale = guide.guidance_schedule[:, t - 1][:, None, None]
+            return x.at[:, 1:-1, :].add(-scale * g)
+
+        do_guide = jnp.logical_and(t % guidance_period < guidance_period // 2,
+                                   t >= guidance_min_t)
+        x = jax.lax.cond(do_guide, guided, lambda x: x, x)
+
+        x = _pin_endpoints(x, start, goal)
+        return x, ()
+
+    ts = jnp.arange(T, 0, -1)
+    x, _ = jax.lax.scan(step, x, ts)
+    return x
+
+
+def denoise(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    rng: jax.Array,
+    *,
+    batch_size: int = 1,
+    traj_len: int = C.DEFAULT_TRAJ_LEN,
+    num_channels: int = C.DEFAULT_NUM_CHANNELS,
+    start=None,
+    goal=None,
+):
+    """Unguided reverse DDPM (diffusion/diffusion.py:253-278)."""
+    T = schedule.T
+    condition = start is not None
+
+    init_key, loop_key = jax.random.split(rng)
+    x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
+    if condition:
+        x = _pin_endpoints(x, jnp.asarray(start, jnp.float32),
+                           jnp.asarray(goal, jnp.float32))
+
+    def step(x, t):
+        eps = apply_fn(params, x, t.astype(jnp.float32)[None])
+        alpha = schedule.alpha[t - 1]
+        alpha_bar = schedule.alpha_bar[t - 1]
+        beta = schedule.beta[t - 1]
+        z = jax.random.normal(jax.random.fold_in(loop_key, t), x.shape)
+        z = jnp.where(t == 1, 0.0, z)
+        x = (x - ((1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)) * eps) / jnp.sqrt(alpha)
+        x = x + beta * z
+        if condition:
+            x = _pin_endpoints(x, jnp.asarray(start, jnp.float32),
+                               jnp.asarray(goal, jnp.float32))
+        return x, ()
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(T, 0, -1))
+    return x
+
+
+def q_sample_from_x0(schedule: DiffusionSchedule, x0, t, eps):
+    """Closed-form forward diffusion q(x_t | x_0) (diffusion.py:79-105).
+
+    x0: (B, N, C); t: (B,) int in [1, T]; eps: (B, N, C).
+    """
+    ab = schedule.alpha_bar[t - 1][:, None, None]
+    return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * eps
+
+
+def generate_q_sample(schedule: DiffusionSchedule, x0, rng, condition=True):
+    """Training batch: (x_t, eps, t) with endpoint conditioning
+    (diffusion.py:201-251)."""
+    B = x0.shape[0]
+    tkey, ekey = jax.random.split(rng)
+    t = jax.random.randint(tkey, (B,), 1, schedule.T + 1)
+    eps = jax.random.normal(ekey, x0.shape)
+    xt = q_sample_from_x0(schedule, x0, t, eps)
+    if condition:
+        xt = xt.at[:, 0, :].set(x0[:, 0, :])
+        xt = xt.at[:, -1, :].set(x0[:, -1, :])
+    return xt, eps, t

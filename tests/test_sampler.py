@@ -1,0 +1,128 @@
+"""Sampler algebra tests: schedule values, posterior update, guidance gating,
+endpoint conditioning, q-sample training batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edmp_tpu.costs.guide import GuideParams
+from edmp_tpu.costs.obstacles import pack_scene
+from edmp_tpu.diffusion import sampler as S
+from edmp_tpu.diffusion.schedule import make_schedule
+
+
+def test_schedule_matches_reference_formula():
+    T = 255
+    sch = make_schedule(T)
+    beta = np.linspace(0, 0.02, T + 1)[1:]
+    np.testing.assert_allclose(np.asarray(sch.beta), beta, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sch.alpha), 1 - beta, atol=1e-7)
+    # reference: alpha_bar[t] = prod(alpha[:t]) over 1..T (diffusion.py:16)
+    ab = np.array([np.prod((1 - beta)[:t]) for t in np.arange(T + 1)[1:]])
+    np.testing.assert_allclose(np.asarray(sch.alpha_bar), ab, rtol=1e-5)
+
+
+def test_clip_joints_limits():
+    x = jnp.asarray([[10.0, -10, 0, -1, 0, 1, 0]])
+    c = np.asarray(S.clip_joints(x))
+    assert c[0, 0] == pytest.approx(166 * np.pi / 180)
+    assert c[0, 1] == pytest.approx(-101 * np.pi / 180)
+    assert c[0, 3] == pytest.approx(-1.0)
+
+
+def _dummy_apply(params, x, t):
+    return jnp.zeros_like(x)
+
+
+def test_unguided_denoise_endpoints_and_shape():
+    sch = make_schedule(16)
+    start = jnp.ones(7) * 0.3
+    goal = -jnp.ones(7) * 0.2
+    x = S.denoise(_dummy_apply, None, sch, jax.random.key(1),
+                  batch_size=3, traj_len=10, start=start, goal=goal)
+    assert x.shape == (3, 10, 7)
+    np.testing.assert_allclose(np.asarray(x[:, 0, :]), 0.3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x[:, -1, :]), -0.2, atol=1e-6)
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_guided_with_zero_scale_matches_unguided():
+    """With guidance scale 0 the guided sampler must reproduce the unguided
+    trajectory bit-for-bit (same RNG layout)."""
+    T, B, N = 12, 2, 8
+    sch = make_schedule(T)
+    scene = pack_scene(np.array([[0.5, 0, 0.5, 0, 0, 0, 1, 0.3, 0.3, 0.3]]))
+    gp = GuideParams(
+        clearance=jnp.zeros((B, T)), expansion=jnp.zeros((B, T)),
+        guidance_method=jnp.zeros(B), grad_norm=jnp.zeros(B),
+        guidance_schedule=jnp.zeros((B, T)),
+    )
+    start = jnp.zeros(7)
+    goal = jnp.ones(7) * 0.1
+    key = jax.random.key(7)
+    xg = S.denoise_guided(_dummy_apply, None, sch, scene, gp, start, goal,
+                          key, batch_size=B, traj_len=N)
+    xu = S.denoise(_dummy_apply, None, sch, key, batch_size=B, traj_len=N,
+                   start=start, goal=goal)
+    np.testing.assert_array_equal(np.asarray(xg), np.asarray(xu))
+
+
+def test_guidance_pushes_away_from_obstacle():
+    """A big obstacle between start and goal: guided samples should carry
+    less swept volume than unguided ones."""
+    from edmp_tpu.costs.guide import swept_cost_per_sample
+
+    T, B, N = 40, 8, 12
+    sch = make_schedule(T)
+    scene = pack_scene(np.array([[0.45, 0.0, 0.55, 0, 0, 0, 1, 0.5, 0.9, 0.7]]))
+    gp = GuideParams(
+        clearance=jnp.full((B, T), 0.05), expansion=jnp.zeros((B, T)),
+        guidance_method=jnp.zeros(B), grad_norm=jnp.zeros(B),
+        guidance_schedule=jnp.full((B, T), 1.5),
+    )
+    start = jnp.zeros(7)
+    goal = jnp.asarray([1.2, 0.8, 0.0, -1.2, 0.0, 1.5, 0.0])
+    key = jax.random.key(3)
+    xg = S.denoise_guided(_dummy_apply, None, sch, scene, gp, start, goal,
+                          key, batch_size=B, traj_len=N)
+    x0 = S.denoise(_dummy_apply, None, sch, key, batch_size=B, traj_len=N,
+                   start=start, goal=goal)
+    cg = float(jnp.mean(swept_cost_per_sample(xg[:, 1:-1], start, goal, scene)))
+    cu = float(jnp.mean(swept_cost_per_sample(x0[:, 1:-1], start, goal, scene)))
+    assert cg < cu
+
+
+def test_q_sample_conditioning_and_stats(rng):
+    sch = make_schedule(255)
+    x0 = jnp.asarray(rng.normal(0, 0.5, (64, 20, 7)), jnp.float32)
+    xt, eps, t = S.generate_q_sample(sch, x0, jax.random.key(0))
+    assert xt.shape == x0.shape and eps.shape == x0.shape and t.shape == (64,)
+    assert int(jnp.min(t)) >= 1 and int(jnp.max(t)) <= 255
+    np.testing.assert_array_equal(np.asarray(xt[:, 0, :]), np.asarray(x0[:, 0, :]))
+    np.testing.assert_array_equal(np.asarray(xt[:, -1, :]), np.asarray(x0[:, -1, :]))
+    # closed form: xt = sqrt(ab) x0 + sqrt(1-ab) eps at interior points
+    ab = np.asarray(sch.alpha_bar)[np.asarray(t) - 1][:, None, None]
+    want = np.sqrt(ab) * np.asarray(x0) + np.sqrt(1 - ab) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(xt[:, 1:-1]), want[:, 1:-1], atol=1e-5)
+
+
+def test_denoise_guided_is_jittable():
+    T, B, N = 6, 2, 8
+    sch = make_schedule(T)
+    scene = pack_scene(np.array([[0.5, 0, 0.5, 0, 0, 0, 1, 0.2, 0.2, 0.2]]))
+    gp = GuideParams(
+        clearance=jnp.zeros((B, T)), expansion=jnp.zeros((B, T)),
+        guidance_method=jnp.asarray([0.0, 1.0]), grad_norm=jnp.zeros(B),
+        guidance_schedule=jnp.full((B, T), 0.5),
+    )
+
+    @jax.jit
+    def run(key):
+        return S.denoise_guided(_dummy_apply, None, sch, scene, gp,
+                                jnp.zeros(7), jnp.ones(7) * 0.2, key,
+                                batch_size=B, traj_len=N)
+
+    x = run(jax.random.key(0))
+    assert x.shape == (B, N, 7)
+    assert bool(jnp.all(jnp.isfinite(x)))
