@@ -87,7 +87,7 @@ def build_workload(n_scenes):
         jnp.asarray(np.stack(starts), jnp.float32),
         jnp.asarray(np.stack(goals), jnp.float32),
         jnp.asarray(np.stack(valids)),
-        jax.random.split(jax.random.key(1), n_scenes),
+        jax.random.key(1),
     )
     return model, sch, cfg, args
 

@@ -107,5 +107,28 @@ def obstacle_aabbs(scene: SceneObstacles, expansion=None, clearance=None):
     if clearance is not None:
         cl = jnp.asarray(clearance)[..., None, None]
         sizes = sizes + cl
-    ext = jnp.einsum("oij,...oj->...oi", scene.abs_rot, sizes * 0.5)
+    ext = jnp.einsum("...oij,...oj->...oi", scene.abs_rot, sizes * 0.5)
     return scene.centers - ext, scene.centers + ext
+
+
+def stack_scenes(scenes) -> "SceneObstacles":
+    """Stack a list of equally-padded scenes along a leading axis."""
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+def tile_scene_per_sample(scenes: SceneObstacles, samples_per_scene: int
+                          ) -> SceneObstacles:
+    """(S, O, ...) scene arrays -> per-sample (S*samples, O, ...) arrays.
+
+    This is the scene-folding layout: instead of vmapping the planner over
+    scenes (which multiplies XLA compile cost), scenes ride the batch axis and
+    every sample carries its own obstacle set — the cost engine is already
+    per-sample because of the ensemble hyperparameters.
+    """
+    return SceneObstacles(
+        centers=jnp.repeat(scenes.centers, samples_per_scene, axis=0),
+        abs_rot=jnp.repeat(scenes.abs_rot, samples_per_scene, axis=0),
+        dims=jnp.repeat(scenes.dims, samples_per_scene, axis=0),
+    )

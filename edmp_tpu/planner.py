@@ -116,17 +116,84 @@ def make_plan_fn(model, schedule: DiffusionSchedule, cfg: PlannerConfig,
     return jax.jit(fn) if jit else fn
 
 
+class ScenesPlanResult(NamedTuple):
+    best: jnp.ndarray          # (S, N, 7)
+    best_index: jnp.ndarray    # (S,)
+    trajectories: jnp.ndarray  # (S, B, N, 7)
+    goal: jnp.ndarray          # (S, 7)
+    swept_costs: jnp.ndarray   # (S, B)
+
+
+def plan_scenes(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    scenes: SceneObstacles,   # stacked, leading S axis
+    guide: GuideParams,       # (B, ...) one ensemble, shared across scenes
+    starts: jnp.ndarray,      # (S, 7)
+    ik_goals: jnp.ndarray,    # (S, K, 7)
+    ik_valid: jnp.ndarray,    # (S, K)
+    rng: jax.Array,
+    cfg: PlannerConfig,
+) -> ScenesPlanResult:
+    """Scene-folded multi-scene planning: ONE fused device program.
+
+    Scenes are folded into the batch axis (S*B samples) instead of vmapping
+    the whole planner per scene — same math, one compile, and the batch is
+    large enough to feed the MXU.  Per-sample obstacle arrays make each
+    trajectory see its own scene; the ensemble hyperparameters tile across
+    scenes.
+    """
+    from edmp_tpu.costs.obstacles import tile_scene_per_sample
+
+    S = starts.shape[0]
+    B = cfg.batch_size
+    starts = jnp.asarray(starts, jnp.float32)
+
+    goals = jax.vmap(select_goal, in_axes=(0, 0, 0, 0, None))(
+        ik_goals, ik_valid, starts, scenes, cfg.volume_trust_region)
+
+    sample_scene = tile_scene_per_sample(scenes, B)
+    guide_folded = GuideParams(
+        clearance=jnp.tile(guide.clearance, (S, 1)),
+        expansion=jnp.tile(guide.expansion, (S, 1)),
+        guidance_method=jnp.tile(guide.guidance_method, S),
+        grad_norm=jnp.tile(guide.grad_norm, S),
+        guidance_schedule=jnp.tile(guide.guidance_schedule, (S, 1)),
+    )
+    start_s = jnp.repeat(starts, B, axis=0)
+    goal_s = jnp.repeat(goals, B, axis=0)
+
+    trajs = denoise_guided(
+        apply_fn, params, schedule, sample_scene, guide_folded,
+        start_s, goal_s, rng,
+        batch_size=S * B, traj_len=cfg.traj_len,
+        num_channels=cfg.num_channels,
+        guidance_period=cfg.guidance_period,
+        guidance_min_t=cfg.guidance_min_t,
+    )
+
+    costs = swept_cost_per_sample(trajs[:, 1:-1, :], start_s, goal_s,
+                                  sample_scene)
+    costs = costs.reshape(S, B)
+    best_idx = jnp.argmin(costs, axis=1)
+    trajs = trajs.reshape(S, B, cfg.traj_len, cfg.num_channels)
+    best = jnp.take_along_axis(
+        trajs, best_idx[:, None, None, None], axis=1)[:, 0]
+    return ScenesPlanResult(best=best, best_index=best_idx,
+                            trajectories=trajs, goal=goals,
+                            swept_costs=costs)
+
+
 def make_batched_plan_fn(model, schedule: DiffusionSchedule,
                          cfg: PlannerConfig, jit: bool = True):
-    """vmap over scenes: scene pytree/start/goals/valid/rng gain a leading
-    S axis; params and guide are broadcast."""
+    """Scene-folded multi-scene plan callable (see plan_scenes)."""
 
     def apply_fn(params, x, t):
         return model.apply({"params": params}, x, t)
 
-    def one(params, scene, guide, start, ik_goals, ik_valid, rng):
-        return plan(apply_fn, params, schedule, scene, guide, start,
-                    ik_goals, ik_valid, rng, cfg)
+    def fn(params, scenes, guide, starts, ik_goals, ik_valid, rng):
+        return plan_scenes(apply_fn, params, schedule, scenes, guide, starts,
+                           ik_goals, ik_valid, rng, cfg)
 
-    batched = jax.vmap(one, in_axes=(None, 0, None, 0, 0, 0, 0))
-    return jax.jit(batched) if jit else batched
+    return jax.jit(fn) if jit else fn

@@ -101,6 +101,35 @@ def test_batched_plan_over_scenes(tiny_setup, rng):
              jnp.asarray(np.stack(starts), jnp.float32),
              jnp.asarray(np.stack(goals), jnp.float32),
              jnp.asarray(np.stack(valids)),
-             jax.random.split(jax.random.key(1), S))
+             jax.random.key(1))
     assert res.trajectories.shape == (S, 4, TINY_N, 7)
     assert res.best.shape == (S, TINY_N, 7)
+    for s in range(S):
+        assert int(res.best_index[s]) == int(np.argmin(
+            np.asarray(res.swept_costs[s])))
+        np.testing.assert_allclose(np.asarray(res.best[s, 0]), starts[s],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res.best[s, -1]),
+                                   np.asarray(res.goal[s]), atol=1e-5)
+
+
+def test_folded_matches_single_scene(tiny_setup, rng):
+    """Scene-folding must reproduce the single-scene pipeline bit-for-bit
+    modulo RNG layout: run S=1 folded vs plan() with the same key and check
+    goals, costs ordering and endpoint pinning agree."""
+    model, params, sch, gp, cfg = tiny_setup
+    oc, st, gl, va = synthetic.random_problem(rng)
+    scene = pack_scene(oc)
+    scene_batch = jax.tree.map(lambda x: x[None], scene)
+    fn_b = P.make_batched_plan_fn(model, sch, cfg)
+    fn_s = P.make_plan_fn(model, sch, cfg)
+    key = jax.random.key(5)
+    rb = fn_b(params, scene_batch, gp, jnp.asarray(st, jnp.float32)[None],
+              jnp.asarray(gl, jnp.float32)[None], jnp.asarray(va)[None], key)
+    rs = fn_s(params, scene, gp, jnp.asarray(st, jnp.float32),
+              jnp.asarray(gl, jnp.float32), jnp.asarray(va), key)
+    np.testing.assert_allclose(np.asarray(rb.goal[0]), np.asarray(rs.goal),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rb.trajectories[0]),
+                               np.asarray(rs.trajectories), atol=1e-5)
+    assert int(rb.best_index[0]) == int(rs.best_index)
