@@ -1,0 +1,220 @@
+"""Resumable benchmark sweep over a packed problem dataset.
+
+The TPU replacement for the reference's per-scene Python loop
+(infer_serial.py:95-170).  Scenes are processed in device-batches of
+``scenes_per_batch`` (folded into the sample axis, planner.plan_scenes),
+sharded over the mesh's 'scenes' axis when more than one device is present.
+Per-scene results append to a JSONL spool with a completed-set state file, so
+a killed multi-host run resumes where it stopped (SURVEY.md §5: the reference
+has no such recovery — a crash kills the sweep).
+
+Pipeline per batch:
+  1. device: IK goal sweep per scene (vmapped analytic IK)
+  2. device: folded guided planning + best-of-ensemble selection
+  3. host:   native-oracle validation of the selected trajectories (overlapped
+             with the next batch's device work via a worker thread)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from edmp_tpu import constants as C
+from edmp_tpu import planner as P
+from edmp_tpu.costs.guide import GuideParams
+from edmp_tpu.costs.obstacles import pack_scene, stack_scenes
+from edmp_tpu.data.problems import SCENE_TYPES, PackedDataset
+from edmp_tpu.diffusion.schedule import DiffusionSchedule
+from edmp_tpu.robot import ik as IK
+from edmp_tpu.validation.oracle import TrajectoryOracle
+
+
+@dataclasses.dataclass
+class SweepConfig:
+    scenes_per_batch: int = 4
+    substeps: int = 4
+    seed: int = 0
+    n_q7_seeds: int = 100
+    results_dir: str = "./results"
+    oracle_threads: bool = True
+
+
+@dataclasses.dataclass
+class SceneResult:
+    scene_index: int
+    scene_type: str
+    success: bool
+    swept_cost: float
+    plan_time: float
+    goal: List[float]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+class SweepState:
+    """JSONL spool + resume bookkeeping."""
+
+    def __init__(self, results_dir: str, tag: str):
+        os.makedirs(results_dir, exist_ok=True)
+        self.path = os.path.join(results_dir, f"sweep_{tag}.jsonl")
+        self.completed: Dict[int, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                        self.completed[rec["scene_index"]] = rec
+                    except json.JSONDecodeError:
+                        continue  # torn tail write from a crash
+        self._f = open(self.path, "a")
+        self._lock = threading.Lock()
+
+    def record(self, result: SceneResult) -> None:
+        with self._lock:
+            self.completed[result.scene_index] = dataclasses.asdict(result)
+            self._f.write(result.to_json() + "\n")
+            self._f.flush()
+
+    def pending(self, indices) -> np.ndarray:
+        return np.asarray([i for i in indices if i not in self.completed],
+                          np.int64)
+
+    def summary(self) -> Dict[str, dict]:
+        by_type: Dict[str, List[dict]] = {}
+        for rec in self.completed.values():
+            by_type.setdefault(rec["scene_type"], []).append(rec)
+        out = {}
+        total_n, total_s = 0, 0
+        for st, recs in sorted(by_type.items()):
+            n = len(recs)
+            s = sum(r["success"] for r in recs)
+            out[st] = {"n": n, "successes": s,
+                       "success_rate": 100.0 * s / n if n else 0.0}
+            total_n += n
+            total_s += s
+        out["overall"] = {"n": total_n, "successes": total_s,
+                          "success_rate":
+                          100.0 * total_s / total_n if total_n else 0.0}
+        return out
+
+
+def _ik_targets_fn():
+    """jitted (targets (S,4,4), q7 seeds (S, n)) -> goals (S, n*8, 7), valid."""
+
+    def one(target, seeds):
+        sols, ok = IK.analytic_ik_batch(target, seeds)
+        return sols.reshape(-1, 7), ok.reshape(-1)
+
+    return jax.jit(jax.vmap(one))
+
+
+def run_sweep(
+    model,
+    params,
+    schedule: DiffusionSchedule,
+    guide: GuideParams,
+    dataset: PackedDataset,
+    plan_cfg: P.PlannerConfig,
+    sweep_cfg: SweepConfig,
+    tag: str = "run",
+    max_scenes: Optional[int] = None,
+) -> SweepState:
+    state = SweepState(sweep_cfg.results_dir, tag)
+    rng = np.random.default_rng(sweep_cfg.seed)
+
+    indices = np.arange(len(dataset))
+    if max_scenes is not None:
+        indices = indices[:max_scenes]
+    pending = state.pending(indices)
+    if len(pending) == 0:
+        return state
+
+    plan_fn = P.make_batched_plan_fn(model, schedule, plan_cfg)
+    ik_fn = _ik_targets_fn()
+    oracle = TrajectoryOracle(substeps=sweep_cfg.substeps)
+
+    results_q: "queue.Queue" = queue.Queue()
+
+    def validator():
+        while True:
+            item = results_q.get()
+            if item is None:
+                return
+            idx, best, goal, cost, dt = item
+            obs_cfg = dataset.scene_obstacle_config(int(idx))
+            ok, _ = oracle.validate(best, obs_cfg)
+            st_id = int(dataset.scene_type_id[int(idx)])
+            state.record(SceneResult(
+                scene_index=int(idx),
+                scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
+                success=bool(ok),
+                swept_cost=float(cost),
+                plan_time=float(dt),
+                goal=[float(x) for x in goal],
+            ))
+
+    worker = None
+    if sweep_cfg.oracle_threads:
+        worker = threading.Thread(target=validator, daemon=True)
+        worker.start()
+
+    Sb = sweep_cfg.scenes_per_batch
+    key = jax.random.key(sweep_cfg.seed)
+    for lo in range(0, len(pending), Sb):
+        chunk = pending[lo:lo + Sb]
+        # pad the tail chunk to keep shapes static (results discarded)
+        pad = Sb - len(chunk)
+        idx = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+
+        scenes = stack_scenes(
+            [pack_scene(dataset.scene_obstacle_config(int(i))) for i in idx])
+        starts = jnp.asarray(dataset.q0[idx], jnp.float32)
+        targets = jnp.asarray(dataset.target[idx], jnp.float32)
+        seeds = np.stack([
+            np.concatenate([
+                rng.uniform(-C.Q7_RANGE, C.Q7_RANGE, sweep_cfg.n_q7_seeds // 2),
+                np.linspace(-C.Q7_RANGE, C.Q7_RANGE,
+                            sweep_cfg.n_q7_seeds - sweep_cfg.n_q7_seeds // 2),
+            ]) for _ in idx])
+
+        t0 = time.perf_counter()
+        goals, valid = ik_fn(targets, jnp.asarray(seeds, jnp.float32))
+        key, sub = jax.random.split(key)
+        res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
+        best = np.asarray(res.best)
+        goal_np = np.asarray(res.goal)
+        costs = np.asarray(res.swept_costs)
+        dt = (time.perf_counter() - t0) / max(len(chunk), 1)
+
+        for row, scene_i in enumerate(chunk):
+            item = (scene_i, best[row], goal_np[row],
+                    costs[row].min(), dt)
+            if worker is not None:
+                results_q.put(item)
+            else:
+                idx_, b_, g_, c_, d_ = item
+                obs_cfg = dataset.scene_obstacle_config(int(idx_))
+                ok, _ = oracle.validate(b_, obs_cfg)
+                st_id = int(dataset.scene_type_id[int(idx_)])
+                state.record(SceneResult(
+                    scene_index=int(idx_),
+                    scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
+                    success=bool(ok), swept_cost=float(c_),
+                    plan_time=float(d_), goal=[float(x) for x in g_]))
+
+    if worker is not None:
+        results_q.put(None)
+        worker.join()
+    return state
