@@ -1,0 +1,116 @@
+"""Benchmark sweep CLI — the TPU counterpart of ``python infer_serial.py -c``.
+
+Reads the reference's benchmark YAML format (guides list, batch size, dataset
+type/path, model dir, infer_serial.py:25-91) and runs the resumable sharded
+sweep.  Dataset resolution order:
+  1. ``--dataset-npz`` packed arrays (produced by cli.convert)
+  2. ``<dataset.path>/<type>_solvable_problems.pkl`` (reference pickles,
+     ingested through the shim unpickler)
+  3. ``--synthetic N`` random problems (smoke/benchmarks)
+
+Model weights resolve from ``<model_dir>/TemporalUNetModel<T>_N<len>/``
+(weights_latest.pt or .npz via the converter); ``--random-weights`` runs with
+an untrained model for pipeline benchmarking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="edmp-infer")
+    ap.add_argument("-c", "--cfg_path", default="./benchmark/cfgs/cfg1.yaml")
+    ap.add_argument("--dataset-npz", default=None)
+    ap.add_argument("--synthetic", type=int, default=None,
+                    help="run N synthetic scenes instead of a dataset")
+    ap.add_argument("--scenes-per-batch", type=int, default=2)
+    ap.add_argument("--max-scenes", type=int, default=None)
+    ap.add_argument("--scene-types", nargs="*", default=None,
+                    help="override cfg scene types")
+    ap.add_argument("--tag", default=None)
+    ap.add_argument("--results-dir", default=None)
+    ap.add_argument("--substeps", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--random-weights", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from edmp_tpu import planner as P
+    from edmp_tpu.config import BenchmarkConfig, load_guide_set, pack_ensemble
+    from edmp_tpu.data.problems import PackedDataset
+    from edmp_tpu.data.synthetic import synthetic_packed_dataset
+    from edmp_tpu.diffusion.schedule import make_schedule
+    from edmp_tpu.models import convert as cv
+    from edmp_tpu.models import temporal_unet as tu
+    from edmp_tpu.parallel.sweep import SweepConfig, run_sweep
+
+    cfg = BenchmarkConfig.from_yaml(args.cfg_path)
+    guides = load_guide_set(cfg.guide_path, cfg.guide_ids)
+    gp, _ = pack_ensemble(guides, cfg.batch_size_per_guide, cfg.T)
+
+    model = tu.create_model(input_dim=cfg.num_channels)
+    model_dir = os.path.join(
+        cfg.model_dir, f"TemporalUNetModel{cfg.T}_N{cfg.traj_len}")
+    if args.random_weights or not os.path.exists(model_dir):
+        if not args.random_weights:
+            print(f"[warn] no checkpoint at {model_dir}; using random init "
+                  f"(pass --random-weights to silence)", file=sys.stderr)
+        params = tu.init_params(jax.random.key(0), model,
+                                traj_len=cfg.traj_len)
+    else:
+        params = jax.tree.map(__import__("jax").numpy.asarray,
+                              cv.load_torch_checkpoint(model_dir))
+        print(f"loaded checkpoint from {model_dir}")
+
+    # dataset resolution
+    if args.dataset_npz:
+        dataset = PackedDataset.load(args.dataset_npz)
+    elif args.synthetic:
+        dataset = synthetic_packed_dataset(
+            np.random.default_rng(args.seed), args.synthetic)
+    else:
+        pkl = os.path.join(cfg.dataset_path,
+                           f"{cfg.dataset_type}_solvable_problems.pkl")
+        if not os.path.exists(pkl):
+            print(f"[error] dataset not found: {pkl}. Pass --dataset-npz or "
+                  f"--synthetic N.", file=sys.stderr)
+            return 2
+        from edmp_tpu.data.problems import (PackedDataset as PD,
+                                            load_reference_pickle)
+        by_type = load_reference_pickle(pkl)
+        wanted = args.scene_types or cfg.scene_types
+        problems = [p for st in wanted for p in by_type.get(st, [])]
+        dataset = PD.from_problems(problems)
+    print(f"dataset: {len(dataset)} scenes")
+
+    plan_cfg = P.PlannerConfig(batch_size=cfg.total_batch_size,
+                               traj_len=cfg.traj_len,
+                               num_channels=cfg.num_channels)
+    sweep_cfg = SweepConfig(
+        scenes_per_batch=args.scenes_per_batch,
+        substeps=args.substeps,
+        seed=args.seed,
+        results_dir=args.results_dir or cfg.save_dir,
+    )
+    tag = args.tag or f"{cfg.dataset_type}"
+
+    t0 = time.time()
+    state = run_sweep(model, params, make_schedule(cfg.T), gp, dataset,
+                      plan_cfg, sweep_cfg, tag=tag,
+                      max_scenes=args.max_scenes)
+    dt = time.time() - t0
+    summary = state.summary()
+    summary["wall_time_s"] = round(dt, 2)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

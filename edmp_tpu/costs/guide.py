@@ -93,11 +93,33 @@ def swept_volumes(joints, start, goal, obs_lo, obs_hi):
     return jnp.prod(jnp.clip(ov_hi - ov_lo, min=0.0), axis=-1)
 
 
+def _overlap_volumes(lo, hi, obs_lo, obs_hi):
+    """(B, N, L, 3) box AABBs x (B|1, O, 3) obstacle AABBs -> (B, N, L, O)."""
+    if obs_lo.ndim == 2:
+        obs_lo = obs_lo[None]
+        obs_hi = obs_hi[None]
+    ov_lo = jnp.maximum(lo[..., :, None, :], obs_lo[:, None, None, :, :])
+    ov_hi = jnp.minimum(hi[..., :, None, :], obs_hi[:, None, None, :, :])
+    return jnp.prod(jnp.clip(ov_hi - ov_lo, min=0.0), axis=-1)
+
+
 def blended_cost(joints, start, goal, obs_lo, obs_hi, guidance_method):
-    """Scalar ensemble cost: per-sample iv/sv blend (lib/guide.py:611-612)."""
+    """Scalar ensemble cost: per-sample iv/sv blend (lib/guide.py:611-612).
+
+    One shared FK pass serves both cost families: the intersection cost uses
+    the interior waypoints' link AABBs, the swept cost the consecutive-pair
+    hulls of the endpoint-extended trajectory — numerically identical to
+    evaluating lib/guide.py:354 and :473 separately, at half the FK work.
+    """
     m = guidance_method
-    civ = jnp.sum(intersection_volumes(joints, obs_lo, obs_hi), axis=(1, 2, 3))
-    csv = jnp.sum(swept_volumes(joints, start, goal, obs_lo, obs_hi), axis=(1, 2, 3))
+    traj = _with_endpoints(joints, start, goal)     # (B, N+2, 7)
+    lo, hi = kin.link_aabbs(traj)                   # (B, N+2, L, 3)
+    iv = _overlap_volumes(lo[:, 1:-1], hi[:, 1:-1], obs_lo, obs_hi)
+    seg_lo = jnp.minimum(lo[:, :-1], lo[:, 1:])
+    seg_hi = jnp.maximum(hi[:, :-1], hi[:, 1:])
+    sv = _overlap_volumes(seg_lo, seg_hi, obs_lo, obs_hi)
+    civ = jnp.sum(iv, axis=(1, 2, 3))
+    csv = jnp.sum(sv, axis=(1, 2, 3))
     return jnp.sum((1.0 - m) * civ + m * csv)
 
 
