@@ -33,6 +33,9 @@ class TrainCheckpointer:
         self.losses = (np.load(self._losses_path).tolist()
                        if os.path.exists(self._losses_path) else [])
 
+    def note_loss(self, loss: float) -> None:
+        self.losses.append(float(loss))
+
     def save(self, step: int, state, loss: Optional[float] = None,
              force: bool = False) -> None:
         if loss is not None:
