@@ -140,6 +140,34 @@ def guidance_gradient(joints, start, goal, obs_lo, obs_hi, guide: GuideParams):
     return (1.0 - gn) * g + gn * (g / norm)
 
 
+def interpolation_volumes(joints, start, goal, obs_lo, obs_hi):
+    """'ipv' interpolated-waypoint cost (lib/guide.py:397-471, unused by the
+    shipped configs but part of the guide API): intersection volumes at the
+    1/4, 1/2 and 3/4 blend points of every consecutive waypoint pair of the
+    endpoint-extended trajectory.  Returns (B, N+1, L, O) summed over the 3
+    interpolants."""
+    traj = _with_endpoints(joints, start, goal)
+    total = None
+    for w in (0.5, 0.75, 0.25):
+        mid = w * traj[:, 1:, :] + (1.0 - w) * traj[:, :-1, :]
+        lo, hi = kin.link_aabbs(mid)
+        v = _overlap_volumes(lo, hi, obs_lo, obs_hi)
+        total = v if total is None else total + v
+    return total
+
+
+def smoothness_cost(joints, start, goal):
+    """Quadratic consecutive-difference smoothness (lib/guide.py:670-677).
+
+    joints: (B, N, 7) interior waypoints."""
+    start = jnp.broadcast_to(start, joints[:, 0, :].shape)
+    goal = jnp.broadcast_to(goal, joints[:, 0, :].shape)
+    c = jnp.sum((joints[:, 0, :] - start) ** 2)
+    c += jnp.sum((joints[:, 2:-1, :] - joints[:, 1:-2, :]) ** 2)
+    c += jnp.sum((goal - joints[:, -1, :]) ** 2)
+    return c
+
+
 def swept_cost_per_sample(joints, start, goal, scene: SceneObstacles):
     """Total swept volume per sample at t=0 (selection metric).
 

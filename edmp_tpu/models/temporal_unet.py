@@ -88,6 +88,45 @@ class ResConvBlock(nn.Module):
         return out + x
 
 
+class LinearAttention(nn.Module):
+    """Linear attention (blocks.py:100-133).  The shipped EDMP checkpoints
+    replace this with identity (blocks.py:210,229,248); it is provided as an
+    opt-in (TemporalUNet(use_attention=True)) for architecture ablations."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):  # (B, N, C)
+        B, N, Cin = x.shape
+        h, d = self.heads, self.dim_head
+        qkv = nn.Conv(h * d * 3, (1,), use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, h, d), 3, axis=2)
+        q = q[:, :, 0] * (d ** -0.5)        # (B, N, h, d)
+        k = jax.nn.softmax(k[:, :, 0], axis=1)  # softmax over sequence
+        v = v[:, :, 0]
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(B, N, h * d)
+        return nn.Conv(Cin, (1,), name="to_out")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Channel LayerNorm -> LinearAttention -> residual (blocks.py:170-196)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        g = self.param("g", nn.initializers.ones, (C,))
+        b = self.param("b", nn.initializers.zeros, (C,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        normed = (x - mean) / jnp.sqrt(var + self.eps) * g + b
+        return x + LinearAttention(name="attention")(normed)
+
+
 class ConvTranspose1dTorch(nn.Module):
     """torch.nn.ConvTranspose1d(C, C, k=4, s=2, p=1) with exact semantics.
 
@@ -122,15 +161,18 @@ class ConvTranspose1dTorch(nn.Module):
 
 
 class DownSampler(nn.Module):
-    """rcb x2 -> (identity attention) -> stride-2 conv (blocks.py:202-220)."""
+    """rcb x2 -> (attention slot) -> stride-2 conv (blocks.py:202-220)."""
 
     features: int
     is_last: bool = False
+    use_attention: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
         x = ResConvBlock(self.features, name="rcb1")(x, temb)
         h = ResConvBlock(self.features, name="rcb2")(x, temb)
+        if self.use_attention:
+            h = ResidualAttentionBlock(name="attn")(h)
         if self.is_last:
             return h, h
         out = nn.Conv(self.features, (3,), strides=(2,), padding=[(1, 1)],
@@ -140,23 +182,30 @@ class DownSampler(nn.Module):
 
 class MiddleBlock(nn.Module):
     features: int
+    use_attention: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
         x = ResConvBlock(self.features, name="rcb1")(x, temb)
+        if self.use_attention:
+            x = ResidualAttentionBlock(name="attn")(x)
         return ResConvBlock(self.features, name="rcb2")(x, temb)
 
 
 class UpSampler(nn.Module):
-    """cat(x, skip) -> rcb x2 -> ConvTranspose upsample (blocks.py:240-259)."""
+    """cat(x, skip) -> rcb x2 -> (attention slot) -> ConvTranspose upsample
+    (blocks.py:240-259)."""
 
     features: int  # dim_in of the reference
+    use_attention: bool = False
 
     @nn.compact
     def __call__(self, x, h, temb):
         x = jnp.concatenate([x, h], axis=-1)
         x = ResConvBlock(self.features, name="rcb1")(x, temb)
         x = ResConvBlock(self.features, name="rcb2")(x, temb)
+        if self.use_attention:
+            x = ResidualAttentionBlock(name="attn")(x)
         return ConvTranspose1dTorch(self.features, name="upconv")(x)
 
 
@@ -166,6 +215,7 @@ class TemporalUNet(nn.Module):
     input_dim: int = 7
     time_dim: int = 32
     dims: Sequence[int] = (32, 64, 128, 256, 512, 512)
+    use_attention: bool = False  # identity slots in the shipped checkpoints
 
     @nn.compact
     def __call__(self, x, t):
@@ -180,14 +230,16 @@ class TemporalUNet(nn.Module):
         skips = []
         for i in range(n_down):
             is_last = i == n_down - 1
-            x, h = DownSampler(all_dims[i + 1], is_last, name=f"down_{i}")(x, temb)
+            x, h = DownSampler(all_dims[i + 1], is_last, self.use_attention,
+                               name=f"down_{i}")(x, temb)
             skips.append(h)
 
-        x = MiddleBlock(all_dims[-1], name="middle")(x, temb)
+        x = MiddleBlock(all_dims[-1], self.use_attention, name="middle")(x, temb)
 
         for u, i in enumerate(range(n_down, 1, -1)):
             h = skips.pop()
-            x = UpSampler(all_dims[i - 1], name=f"up_{u}")(x, h, temb)
+            x = UpSampler(all_dims[i - 1], self.use_attention,
+                          name=f"up_{u}")(x, h, temb)
             # odd-length crop hack (temporalunet.py:70-71): lengths are
             # static under jit, so this is trace-time control flow.
             if x.shape[1] in (8, 14, 26):
