@@ -70,7 +70,14 @@ def build_workload(n_scenes):
     gp, _ = pack_ensemble(guides, SAMPLES_PER_GUIDE, T_STEPS)
 
     model = tu.create_model()
-    params = tu.init_params(jax.random.key(0), model, traj_len=TRAJ_LEN)
+    # host-side init: eval_shape + numpy fill (values are irrelevant for
+    # throughput; avoids a ~3 min device compile of model.init via tunnel)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, TRAJ_LEN, 7)), jnp.ones(1)),
+        jax.random.key(0))["params"]
+    host = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(host.normal(0, 0.02, s.shape), s.dtype), shapes)
     sch = make_schedule(T_STEPS)
     cfg = P.PlannerConfig(batch_size=BATCH, traj_len=TRAJ_LEN)
 

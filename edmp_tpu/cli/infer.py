@@ -55,21 +55,8 @@ def main(argv=None):
     guides = load_guide_set(cfg.guide_path, cfg.guide_ids)
     gp, _ = pack_ensemble(guides, cfg.batch_size_per_guide, cfg.T)
 
-    model = tu.create_model(input_dim=cfg.num_channels)
-    model_dir = os.path.join(
-        cfg.model_dir, f"TemporalUNetModel{cfg.T}_N{cfg.traj_len}")
-    if args.random_weights or not os.path.exists(model_dir):
-        if not args.random_weights:
-            print(f"[warn] no checkpoint at {model_dir}; using random init "
-                  f"(pass --random-weights to silence)", file=sys.stderr)
-        params = tu.init_params(jax.random.key(0), model,
-                                traj_len=cfg.traj_len)
-    else:
-        params = jax.tree.map(__import__("jax").numpy.asarray,
-                              cv.load_torch_checkpoint(model_dir))
-        print(f"loaded checkpoint from {model_dir}")
-
-    # dataset resolution
+    # dataset resolution FIRST (cheap) — model init/compile is minutes on a
+    # tunneled chip, so fail fast on a missing dataset
     if args.dataset_npz:
         dataset = PackedDataset.load(args.dataset_npz)
     elif args.synthetic:
@@ -90,6 +77,35 @@ def main(argv=None):
         dataset = PD.from_problems(problems)
     print(f"dataset: {len(dataset)} scenes")
 
+    # resume early-exit: if every scene is already spooled, skip the
+    # (expensive) model build entirely
+    from edmp_tpu.parallel.sweep import SweepState
+
+    results_dir = args.results_dir or cfg.save_dir
+    tag = args.tag or f"{cfg.dataset_type}"
+    n_target = len(dataset) if args.max_scenes is None else min(
+        len(dataset), args.max_scenes)
+    probe = SweepState(results_dir, tag)
+    if len(probe.pending(range(n_target))) == 0:
+        summary = probe.summary()
+        summary["resumed"] = True
+        print(json.dumps(summary, indent=2))
+        return 0
+
+    model = tu.create_model(input_dim=cfg.num_channels)
+    model_dir = os.path.join(
+        cfg.model_dir, f"TemporalUNetModel{cfg.T}_N{cfg.traj_len}")
+    if args.random_weights or not os.path.exists(model_dir):
+        if not args.random_weights:
+            print(f"[warn] no checkpoint at {model_dir}; using random init "
+                  f"(pass --random-weights to silence)", file=sys.stderr)
+        params = tu.init_params(jax.random.key(0), model,
+                                traj_len=cfg.traj_len)
+    else:
+        params = jax.tree.map(__import__("jax").numpy.asarray,
+                              cv.load_torch_checkpoint(model_dir))
+        print(f"loaded checkpoint from {model_dir}")
+
     plan_cfg = P.PlannerConfig(batch_size=cfg.total_batch_size,
                                traj_len=cfg.traj_len,
                                num_channels=cfg.num_channels)
@@ -97,9 +113,8 @@ def main(argv=None):
         scenes_per_batch=args.scenes_per_batch,
         substeps=args.substeps,
         seed=args.seed,
-        results_dir=args.results_dir or cfg.save_dir,
+        results_dir=results_dir,
     )
-    tag = args.tag or f"{cfg.dataset_type}"
 
     t0 = time.time()
     state = run_sweep(model, params, make_schedule(cfg.T), gp, dataset,

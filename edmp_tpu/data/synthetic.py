@@ -57,18 +57,17 @@ def random_problem(rng: np.random.Generator, n_obstacles: int = 6,
 def synthetic_packed_dataset(rng: np.random.Generator, n_scenes: int,
                              n_obstacles: int = 6):
     """A PackedDataset of synthetic problems with FK-consistent targets."""
-    import jax.numpy as jnp
-
     from edmp_tpu.data.problems import PackedDataset, Problem, SCENE_TYPES
-    from edmp_tpu.robot.kinematics import ee_transform
+    from edmp_tpu.robot.kinematics import numpy_ee_transform
 
     problems = []
     for i in range(n_scenes):
         oc = random_obstacle_config(rng, n_obstacles)
         q0 = random_joint_config(rng)[0]
         goal = random_joint_config(rng)[0]
-        target = np.asarray(
-            ee_transform(jnp.asarray(goal, jnp.float32)), np.float64)
+        # host-side FK: eager jnp ops are pathologically slow on remote
+        # (tunneled) backends — one tiny compile per op
+        target = numpy_ee_transform(goal)
         problems.append(Problem(
             target_pose=target, q0=q0, obstacle_config=oc,
             cuboid_config=oc, cylinder_config=np.zeros((0, 9)),
