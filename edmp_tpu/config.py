@@ -104,6 +104,82 @@ def pack_ensemble(guides: Sequence[GuideConfig], batch_per_guide: int,
     return gp, vtr
 
 
+# ---------------------------------------------------------------------------
+# Built-in registry of the reference's 16 guide hyperparameterizations
+# (guides/cfgs/guide{1..5,9..18,21}.yaml, values extracted verbatim; the
+# paper-replication ensemble is guides [1,2,3,4,5,10,11,13,14,16,18,21],
+# benchmark/cfgs/cfg1.yaml).  Rows:
+#   (clearance_lo, clearance_hi, expansion segments, method, grad_norm,
+#    schedule type, scale_val, volume_trust_region)
+# Expansion segments apply in order isr1, isr2, isr3 — later segments
+# overwrite overlapping step ranges (infer_serial.py:78-80).
+# ---------------------------------------------------------------------------
+_E0 = (((150, 255), (0.0, 0.0)), ((20, 150), (0.0, 0.0)), ((0, 20), (0.0, 0.0)))
+_E_CONST = (((150, 255), (0.4, 0.4)), ((20, 150), (0.0, 0.4)), ((0, 20), (0.0, 0.0)))
+_E_DECAY = (((150, 255), (0.4, 0.4)), ((20, 150), (0.4, 0.0)), ((0, 20), (0.0, 0.0)))
+_E_EARLY = (((40, 255), (0.4, 0.4)), ((10, 40), (0.0, 0.4)), ((0, 20), (0.0, 0.0)))
+_E_G10 = (((80, 255), (0.4, 0.4)), ((20, 80), (0.0, 0.0)), ((0, 20), (0.0, 0.0)))
+
+REFERENCE_GUIDE_TABLE = {
+    1: ((0.10, 0.10), _E0, "iv", False, "varying", 0.05, 8e-4),
+    2: ((0.05, 0.05), _E0, "iv", False, "varying", 0.05, 8e-4),
+    3: ((0.01, 0.01), _E0, "iv", False, "varying", 0.05, 8e-4),
+    4: ((0.15, 0.15), _E0, "iv", False, "varying", 0.05, 8e-4),
+    5: ((0.01, 0.15), _E0, "iv", False, "varying", 0.05, 8e-4),
+    9: ((0.00, 0.00), _E_DECAY, "iv", True, "constant", 0.05, 8e-4),
+    10: ((0.06, 0.06), _E_G10, "sv", False, "varying", 0.05, 8e-4),
+    11: ((0.00, 0.00), _E_CONST, "sv", True, "constant", 0.05, 8e-4),
+    12: ((0.00, 0.00), _E_DECAY, "iv", True, "constant", 0.05, 8e-4),
+    13: ((0.00, 0.00), _E_CONST, "sv", True, "constant", 0.01, 8e-4),
+    14: ((0.02, 0.02), _E_CONST, "sv", True, "constant", 0.10, 8e-4),
+    15: ((0.00, 0.00), _E_DECAY, "iv", True, "constant", 0.05, 8e-4),
+    16: ((0.10, 0.10), _E_CONST, "sv", True, "constant", 0.10, 8e-4),
+    17: ((0.00, 0.00), _E_DECAY, "iv", True, "constant", 0.05, 8e-4),
+    18: ((0.05, 0.05), _E_EARLY, "sv", True, "constant", 0.05, 8e-4),
+    21: ((0.05, 0.05), _E_EARLY, "sv", True, "constant", 0.10, 8e-4),
+}
+
+CFG1_GUIDE_IDS = [1, 2, 3, 4, 5, 10, 11, 13, 14, 16, 18, 21]
+
+
+def reference_guide_configs(guide_ids: Sequence[int]) -> List[GuideConfig]:
+    """Build GuideConfigs from the built-in registry (no YAML files needed)."""
+    out = []
+    for g in guide_ids:
+        cl, seg, method, gn, sched, scale, vtr = REFERENCE_GUIDE_TABLE[g]
+        out.append(GuideConfig(
+            clearance_range=cl, expansion_segments=seg,
+            guidance_method=method, grad_norm=gn, schedule_type=sched,
+            scale_val=scale, volume_trust_region=vtr))
+    return out
+
+
+def write_guide_yamls(out_dir: str, guide_ids: Sequence[int] | None = None
+                      ) -> None:
+    """Emit guide YAML files in the reference's on-disk format."""
+    ids = list(REFERENCE_GUIDE_TABLE) if guide_ids is None else guide_ids
+    os.makedirs(os.path.join(out_dir, "cfgs"), exist_ok=True)
+    for g in ids:
+        cl, seg, method, gn, sched, scale, vtr = REFERENCE_GUIDE_TABLE[g]
+        doc = {
+            "index": g,
+            "hyperparameters": {
+                "obstacle_clearance": {"range": list(cl)},
+                "obstacle_expansion": {
+                    "isr1": list(seg[0][0]), "val1": list(seg[0][1]),
+                    "isr2": list(seg[1][0]), "val2": list(seg[1][1]),
+                    "isr3": list(seg[2][0]), "val3": list(seg[2][1]),
+                },
+                "guidance_method": method,
+                "grad_norm": gn,
+                "guidance_schedule": {"type": sched, "scale_val": scale},
+                "volume_trust_region": vtr,
+            },
+        }
+        with open(os.path.join(out_dir, "cfgs", f"guide{g}.yaml"), "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)
+
+
 @dataclasses.dataclass
 class BenchmarkConfig:
     """benchmark/cfgs/*.yaml schema (reference-compatible superset)."""

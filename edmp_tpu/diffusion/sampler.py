@@ -73,48 +73,82 @@ def denoise_guided(
     x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
     x = _pin_endpoints(x, start, goal)
 
-    def step(carry, t):
-        x = carry
-        tf = t.astype(jnp.float32)
+    def model_step(x, t):
+        """Posterior reverse step at (traced or static) timestep t."""
+        tf = jnp.asarray(t, jnp.float32)
         eps = apply_fn(params, x, tf[None])
-
         alpha = schedule.alpha[t - 1]
         alpha_bar = schedule.alpha_bar[t - 1]
         beta = schedule.beta[t - 1]
+        z = jax.random.normal(jax.random.fold_in(loop_key, t), x.shape)
+        z = jnp.where(jnp.asarray(t) == 1, 0.0, z)
+        x = (x - ((1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)) * eps) \
+            / jnp.sqrt(alpha)
+        return x + beta * z
 
-        zkey = jax.random.fold_in(loop_key, t)
-        z = jax.random.normal(zkey, x.shape)
-        z = jnp.where(t == 1, 0.0, z)
-        x = (x - ((1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)) * eps) / jnp.sqrt(alpha)
-        x = x + beta * z
+    def guided_update(x, t):
+        interior = clip_joints(x[:, 1:-1, :])
+        obs_lo, obs_hi = obstacle_aabbs(
+            scene,
+            expansion=guide.expansion[:, t - 1],
+            clearance=guide.clearance[:, t - 1],
+        )
+        B = x.shape[0]
+        obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
+        obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
+        # lane-major cost engine (costs/fast_guide.py): identical math,
+        # ~6x faster and ~30x cheaper to compile than the (...,3)-layout form
+        g = guidance_gradient_fast(interior, start, goal, obs_lo, obs_hi,
+                                   guide)
+        scale = guide.guidance_schedule[:, t - 1][:, None, None]
+        return x.at[:, 1:-1, :].add(-scale * g)
 
-        def guided(x):
-            interior = clip_joints(x[:, 1:-1, :])
-            obs_lo, obs_hi = obstacle_aabbs(
-                scene,
-                expansion=guide.expansion[:, t - 1],
-                clearance=guide.clearance[:, t - 1],
-            )
-            B = x.shape[0]
-            obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
-            obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
-            # lane-major cost engine (costs/fast_guide.py): identical math,
-            # ~6x faster and ~30x cheaper to compile than the (...,3)-layout
-            # form on TPU
-            g = guidance_gradient_fast(interior, start, goal, obs_lo, obs_hi,
-                                       guide)
-            scale = guide.guidance_schedule[:, t - 1][:, None, None]
-            return x.at[:, 1:-1, :].add(-scale * g)
+    if guidance_period == 2:
+        # Fast path: the guided timesteps (even t >= guidance_min_t) are
+        # statically known, so the scan runs (odd step, even step, guidance)
+        # triples with NO lax.cond — every branch is straight-line code.
+        lowest = guidance_min_t if guidance_min_t % 2 == 0 \
+            else guidance_min_t + 1
+        T_odd = T if T % 2 == 1 else T - 1
+        if T % 2 == 0 and T >= guidance_min_t:
+            x = _pin_endpoints(guided_update(model_step(x, T), T), start, goal)
+        elif T % 2 == 0:
+            x = _pin_endpoints(model_step(x, T), start, goal)
 
+        n_pairs = max((T_odd - 1 - lowest) // 2 + 1, 0)
+
+        def pair(carry, k):
+            x = carry
+            t_odd = T_odd - 2 * k
+            x = _pin_endpoints(model_step(x, t_odd), start, goal)
+            t_even = t_odd - 1
+            x = guided_update(model_step(x, t_even), t_even)
+            x = _pin_endpoints(x, start, goal)
+            return x, ()
+
+        if n_pairs > 0:
+            x, _ = jax.lax.scan(pair, x, jnp.arange(n_pairs))
+            tail_top = T_odd - 2 * n_pairs  # first unguided tail step
+        else:
+            tail_top = T_odd
+
+        def tail(carry, t):
+            return _pin_endpoints(model_step(carry, t), start, goal), ()
+
+        if tail_top >= 1:
+            x, _ = jax.lax.scan(tail, x, jnp.arange(tail_top, 0, -1))
+        return x
+
+    # generic cadence: cond-gated guidance per step
+    def step(carry, t):
+        x = model_step(carry, t)
         do_guide = jnp.logical_and(t % guidance_period < guidance_period // 2,
                                    t >= guidance_min_t)
-        x = jax.lax.cond(do_guide, guided, lambda x: x, x)
+        x = jax.lax.cond(do_guide, lambda x: guided_update(x, t),
+                         lambda x: x, x)
+        return _pin_endpoints(x, start, goal), ()
 
-        x = _pin_endpoints(x, start, goal)
-        return x, ()
-
-    ts = jnp.arange(T, 0, -1)
-    x, _ = jax.lax.scan(step, x, ts)
+    x, _ = jax.lax.scan(step, x, jnp.arange(T, 0, -1))
     return x
 
 

@@ -133,3 +133,29 @@ def test_folded_matches_single_scene(tiny_setup, rng):
     np.testing.assert_allclose(np.asarray(rb.trajectories[0]),
                                np.asarray(rs.trajectories), atol=1e-5)
     assert int(rb.best_index[0]) == int(rs.best_index)
+
+
+def test_reference_guide_registry(tmp_path):
+    """The built-in guide registry emits reference-format YAMLs that round
+    trip through the YAML loader into identical packed ensembles."""
+    from edmp_tpu.config import (CFG1_GUIDE_IDS, load_guide_set,
+                                 pack_ensemble, reference_guide_configs,
+                                 write_guide_yamls)
+
+    write_guide_yamls(str(tmp_path), CFG1_GUIDE_IDS)
+    from_files = load_guide_set(str(tmp_path), CFG1_GUIDE_IDS)
+    from_table = reference_guide_configs(CFG1_GUIDE_IDS)
+    assert from_files == from_table
+
+    gp, vtr = pack_ensemble(from_table, batch_per_guide=10, T=255)
+    assert gp.clearance.shape == (120, 255)
+    # guide 5 rows: clearance ramps 0.01 -> 0.15 over T
+    import numpy as np
+
+    row = np.asarray(gp.clearance)[45]  # guide 5 occupies rows 40..49
+    assert row[0] == np.float32(0.01) and abs(row[-1] - 0.15) < 1e-6
+    # guide 18 (rows 100..109): isr3 [0,20) overwrites isr2's [10,20) with 0
+    # (segments apply in isr1, isr2, isr3 order, infer_serial.py:78-80)
+    row18 = np.asarray(gp.expansion)[100]
+    assert np.all(row18[:20] == 0.0)
+    assert abs(row18[39] - 0.4) < 0.02 and row18[200] == np.float32(0.4)
