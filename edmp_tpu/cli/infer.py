@@ -37,6 +37,14 @@ def main(argv=None):
     ap.add_argument("--substeps", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--random-weights", action="store_true")
+    ap.add_argument("--weights-npz", default=None,
+                    help="Flax params npz (from cli.train export)")
+    # multi-host launch (jax.distributed): run the same command on every
+    # host with its own --process-id; scenes shard per host
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for multi-host runs")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -50,6 +58,12 @@ def main(argv=None):
     from edmp_tpu.models import convert as cv
     from edmp_tpu.models import temporal_unet as tu
     from edmp_tpu.parallel.sweep import SweepConfig, run_sweep
+
+    from edmp_tpu.parallel.mesh import (multihost_initialize,
+                                        process_scene_slice)
+
+    multihost_initialize(args.coordinator, args.num_processes,
+                         args.process_id)
 
     cfg = BenchmarkConfig.from_yaml(args.cfg_path)
     guides = load_guide_set(cfg.guide_path, cfg.guide_ids)
@@ -75,6 +89,14 @@ def main(argv=None):
         wanted = args.scene_types or cfg.scene_types
         problems = [p for st in wanted for p in by_type.get(st, [])]
         dataset = PD.from_problems(problems)
+    # per-host contiguous scene shard (multi-host data parallelism over the
+    # dataset sweep; single-process runs keep the full range)
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        sl = process_scene_slice(len(dataset))
+        dataset = dataset.select(np.arange(sl.start, sl.stop))
+        print(f"host {_jax.process_index()}: scenes [{sl.start}, {sl.stop})")
     print(f"dataset: {len(dataset)} scenes")
 
     # resume early-exit: if every scene is already spooled, skip the
@@ -83,6 +105,8 @@ def main(argv=None):
 
     results_dir = args.results_dir or cfg.save_dir
     tag = args.tag or f"{cfg.dataset_type}"
+    if _jax.process_count() > 1:  # per-host spool on shared filesystems
+        tag = f"{tag}_h{_jax.process_index()}"
     n_target = len(dataset) if args.max_scenes is None else min(
         len(dataset), args.max_scenes)
     probe = SweepState(results_dir, tag)
@@ -95,7 +119,13 @@ def main(argv=None):
     model = tu.create_model(input_dim=cfg.num_channels)
     model_dir = os.path.join(
         cfg.model_dir, f"TemporalUNetModel{cfg.T}_N{cfg.traj_len}")
-    if args.random_weights or not os.path.exists(model_dir):
+    if args.weights_npz:
+        from edmp_tpu.utils.checkpoint import load_inference_weights
+
+        params = jax.tree.map(__import__("jax").numpy.asarray,
+                              load_inference_weights(args.weights_npz))
+        print(f"loaded weights from {args.weights_npz}")
+    elif args.random_weights or not os.path.exists(model_dir):
         if not args.random_weights:
             print(f"[warn] no checkpoint at {model_dir}; using random init "
                   f"(pass --random-weights to silence)", file=sys.stderr)

@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--wandb-project", default=None)
+    ap.add_argument("--run-name", default="edmp-train")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,6 +89,12 @@ def main(argv=None):
     step_fn = make_sharded_train_step(model, schedule, cfg, mesh)
     key = jax.random.key(args.seed + 1)
 
+    from edmp_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(args.ckpt_dir, run_name=args.run_name,
+                          wandb_project=args.wandb_project,
+                          config=vars(args))
+
     t0 = time.time()
     window = []
     with mesh:
@@ -99,13 +107,23 @@ def main(argv=None):
                 rate = args.log_every * args.batch / (time.time() - t0)
                 print(f"step {step+1:7d}  loss {np.mean(window):.5f}  "
                       f"{rate:,.0f} traj/s", flush=True)
+                logger.log(step + 1, loss=float(np.mean(window)),
+                           traj_per_sec=rate)
                 window.clear()
                 t0 = time.time()
             ckpt.note_loss(float(loss))
             if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
                 ckpt.save(step + 1, jax.device_get(state))
     ckpt.wait()
-    print("done")
+
+    # torch-free inference artifact for cli.infer --weights-npz
+    from edmp_tpu.utils.checkpoint import export_inference_weights
+
+    out = f"{args.ckpt_dir}/weights_inference.npz"
+    export_inference_weights(
+        state.ema_params if state.ema_params is not None else state.params,
+        out)
+    print(f"done; inference weights -> {out}")
     return 0
 
 

@@ -21,7 +21,7 @@ Default hyperparameters: input_dim=7, time_dim=32, dims=(32,64,128,256,512,512)
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -45,27 +45,33 @@ class TimeEmbedding(nn.Module):
     """SinPosEmb -> Dense(4d) -> Mish -> Dense(d)  (blocks.py:76-92)."""
 
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, t):
         e = sinusoidal_pos_emb(t, self.dim)
-        e = nn.Dense(self.dim * 4, name="dense1")(e)
+        e = nn.Dense(self.dim * 4, dtype=self.dtype, name="dense1")(e)
         e = mish(e)
-        return nn.Dense(self.dim, name="dense2")(e)
+        return nn.Dense(self.dim, dtype=self.dtype, name="dense2")(e)
 
 
 class Conv1dBlock(nn.Module):
-    """Conv1d(k, pad=k//2) -> GroupNorm(8) -> Mish  (blocks.py:13-34)."""
+    """Conv1d(k, pad=k//2) -> GroupNorm(8) -> Mish  (blocks.py:13-34).
+
+    Convs compute in ``dtype`` (e.g. bfloat16); GroupNorm statistics stay in
+    float32 for stability."""
 
     features: int
     kernel_size: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2
         x = nn.Conv(self.features, (self.kernel_size,), padding=[(p, p)],
-                    name="conv")(x)
-        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(x)
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=jnp.float32,
+                         name="norm")(x)
         return mish(x)
 
 
@@ -75,16 +81,21 @@ class ResConvBlock(nn.Module):
 
     features: int
     kernel_size: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb):
-        out = Conv1dBlock(self.features, self.kernel_size, name="block1")(x)
+        out = Conv1dBlock(self.features, self.kernel_size, self.dtype,
+                          name="block1")(x)
         # TimeMLP: Mish -> Dense, broadcast over the horizon (blocks.py:58-72)
-        tsig = nn.Dense(self.features, name="time_dense")(mish(temb))
+        tsig = nn.Dense(self.features, dtype=self.dtype,
+                        name="time_dense")(mish(temb))
         out = out + tsig[:, None, :]
-        out = Conv1dBlock(self.features, self.kernel_size, name="block2")(out)
+        out = Conv1dBlock(self.features, self.kernel_size, self.dtype,
+                          name="block2")(out)
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, (1,), name="residual_conv")(x)
+            x = nn.Conv(self.features, (1,), dtype=self.dtype,
+                        name="residual_conv")(x)
         return out + x
 
 
@@ -139,6 +150,7 @@ class ConvTranspose1dTorch(nn.Module):
     kernel_size: int = 4
     stride: int = 2
     padding: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -150,6 +162,9 @@ class ConvTranspose1dTorch(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         pad = self.kernel_size - 1 - self.padding
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(1,),
@@ -166,30 +181,32 @@ class DownSampler(nn.Module):
     features: int
     is_last: bool = False
     use_attention: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb):
-        x = ResConvBlock(self.features, name="rcb1")(x, temb)
-        h = ResConvBlock(self.features, name="rcb2")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb1")(x, temb)
+        h = ResConvBlock(self.features, dtype=self.dtype, name="rcb2")(x, temb)
         if self.use_attention:
             h = ResidualAttentionBlock(name="attn")(h)
         if self.is_last:
             return h, h
         out = nn.Conv(self.features, (3,), strides=(2,), padding=[(1, 1)],
-                      name="downconv")(h)
+                      dtype=self.dtype, name="downconv")(h)
         return out, h
 
 
 class MiddleBlock(nn.Module):
     features: int
     use_attention: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, temb):
-        x = ResConvBlock(self.features, name="rcb1")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb1")(x, temb)
         if self.use_attention:
             x = ResidualAttentionBlock(name="attn")(x)
-        return ResConvBlock(self.features, name="rcb2")(x, temb)
+        return ResConvBlock(self.features, dtype=self.dtype, name="rcb2")(x, temb)
 
 
 class UpSampler(nn.Module):
@@ -198,15 +215,17 @@ class UpSampler(nn.Module):
 
     features: int  # dim_in of the reference
     use_attention: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, h, temb):
         x = jnp.concatenate([x, h], axis=-1)
-        x = ResConvBlock(self.features, name="rcb1")(x, temb)
-        x = ResConvBlock(self.features, name="rcb2")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb1")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb2")(x, temb)
         if self.use_attention:
             x = ResidualAttentionBlock(name="attn")(x)
-        return ConvTranspose1dTorch(self.features, name="upconv")(x)
+        return ConvTranspose1dTorch(self.features, dtype=self.dtype,
+                                    name="upconv")(x)
 
 
 class TemporalUNet(nn.Module):
@@ -216,13 +235,15 @@ class TemporalUNet(nn.Module):
     time_dim: int = 32
     dims: Sequence[int] = (32, 64, 128, 256, 512, 512)
     use_attention: bool = False  # identity slots in the shipped checkpoints
+    dtype: Any = None  # compute dtype for convs/denses (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(self, x, t):
         t = jnp.asarray(t, x.dtype)
         if t.ndim == 0:
             t = t[None]
-        temb = TimeEmbedding(self.time_dim, name="time_embedding")(t)
+        temb = TimeEmbedding(self.time_dim, dtype=self.dtype,
+                             name="time_embedding")(t)
 
         all_dims = (self.input_dim, *self.dims)
         n_down = len(all_dims) - 1
@@ -231,26 +252,32 @@ class TemporalUNet(nn.Module):
         for i in range(n_down):
             is_last = i == n_down - 1
             x, h = DownSampler(all_dims[i + 1], is_last, self.use_attention,
-                               name=f"down_{i}")(x, temb)
+                               self.dtype, name=f"down_{i}")(x, temb)
             skips.append(h)
 
-        x = MiddleBlock(all_dims[-1], self.use_attention, name="middle")(x, temb)
+        x = MiddleBlock(all_dims[-1], self.use_attention, self.dtype,
+                        name="middle")(x, temb)
 
         for u, i in enumerate(range(n_down, 1, -1)):
             h = skips.pop()
-            x = UpSampler(all_dims[i - 1], self.use_attention,
+            x = UpSampler(all_dims[i - 1], self.use_attention, self.dtype,
                           name=f"up_{u}")(x, h, temb)
             # odd-length crop hack (temporalunet.py:70-71): lengths are
             # static under jit, so this is trace-time control flow.
             if x.shape[1] in (8, 14, 26):
                 x = x[:, :-1, :]
 
-        x = Conv1dBlock(all_dims[1], 5, name="final_block")(x)
-        return nn.Conv(self.input_dim, (1,), name="final_conv")(x)
+        x = Conv1dBlock(all_dims[1], 5, self.dtype, name="final_block")(x)
+        out = nn.Conv(self.input_dim, (1,), dtype=self.dtype,
+                      name="final_conv")(x)
+        return out.astype(jnp.float32)
 
 
-def create_model(input_dim=7, time_dim=32, dims=(32, 64, 128, 256, 512, 512)):
-    return TemporalUNet(input_dim=input_dim, time_dim=time_dim, dims=tuple(dims))
+def create_model(input_dim=7, time_dim=32, dims=(32, 64, 128, 256, 512, 512),
+                 dtype=None, use_attention=False):
+    return TemporalUNet(input_dim=input_dim, time_dim=time_dim,
+                        dims=tuple(dims), dtype=dtype,
+                        use_attention=use_attention)
 
 
 def init_params(rng, model: TemporalUNet, traj_len: int = 50):

@@ -258,3 +258,21 @@ def test_init_and_jit_forward():
     y = f(params, jnp.zeros((3, 50, 7)), jnp.asarray([5.0]))
     assert y.shape == (3, 50, 7)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_bf16_compute_close_to_f32():
+    """bf16 compute path shares the f32 param tree and stays within bf16
+    rounding of the f32 forward."""
+    import jax.numpy as jnp
+
+    m32 = tu.create_model(dims=(8, 16), time_dim=8)
+    mbf = tu.TemporalUNet(input_dim=7, time_dim=8, dims=(8, 16),
+                          dtype=jnp.bfloat16)
+    p = tu.init_params(jax.random.key(0), m32, traj_len=12)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 12, 7)),
+                    jnp.float32)
+    y32 = m32.apply({"params": p}, x, jnp.asarray([5.0]))
+    ybf = mbf.apply({"params": p}, x, jnp.asarray([5.0]))
+    assert ybf.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(y32))) + 1e-6
+    assert float(jnp.max(jnp.abs(y32 - ybf))) < 0.05 * scale
