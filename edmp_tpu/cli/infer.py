@@ -48,6 +48,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from edmp_tpu import planner as P
@@ -122,7 +123,7 @@ def main(argv=None):
     if args.weights_npz:
         from edmp_tpu.utils.checkpoint import load_inference_weights
 
-        params = jax.tree.map(__import__("jax").numpy.asarray,
+        params = jax.tree.map(jnp.asarray,
                               load_inference_weights(args.weights_npz))
         print(f"loaded weights from {args.weights_npz}")
     elif args.random_weights or not os.path.exists(model_dir):
@@ -132,7 +133,7 @@ def main(argv=None):
         params = tu.init_params(jax.random.key(0), model,
                                 traj_len=cfg.traj_len)
     else:
-        params = jax.tree.map(__import__("jax").numpy.asarray,
+        params = jax.tree.map(jnp.asarray,
                               cv.load_torch_checkpoint(model_dir))
         print(f"loaded checkpoint from {model_dir}")
 

@@ -72,7 +72,7 @@ def main(argv=None):
     schedule = make_schedule(args.T)
     mesh = make_mesh(axis=DATA_AXIS)
     state = init_state(model, jax.random.key(args.seed), cfg,
-                       traj_len=args.traj_len)
+                       traj_len=args.traj_len, host_init=True)
     print(f"model params: {tu.param_count(state.params)/1e6:.2f}M, "
           f"mesh: {mesh.devices.size} device(s)")
 

@@ -39,10 +39,16 @@ def make_optimizer(cfg: TrainConfig):
     return optax.adam(cfg.learning_rate)
 
 
-def init_state(model, rng, cfg: TrainConfig, traj_len: int = 50) -> TrainState:
-    from edmp_tpu.models.temporal_unet import init_params
+def init_state(model, rng, cfg: TrainConfig, traj_len: int = 50,
+               host_init: bool = False) -> TrainState:
+    from edmp_tpu.models.temporal_unet import host_init_params, init_params
 
-    params = init_params(rng, model, traj_len=traj_len)
+    if host_init:
+        # numpy-side init (no device compile) — statistically equivalent;
+        # essential on tunneled backends where model.init costs minutes
+        params = host_init_params(model, traj_len=traj_len)
+    else:
+        params = init_params(rng, model, traj_len=traj_len)
     opt_state = make_optimizer(cfg).init(params)
     ema = jax.tree.map(jnp.copy, params) if cfg.ema_decay > 0 else None
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)

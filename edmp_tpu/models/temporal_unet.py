@@ -288,3 +288,33 @@ def init_params(rng, model: TemporalUNet, traj_len: int = 50):
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def host_init_params(model: TemporalUNet, traj_len: int = 50, seed: int = 0):
+    """Initialise params on the host (numpy) — no device compile.
+
+    On tunneled backends ``model.init`` costs minutes of remote compile; this
+    reproduces flax's default initialisation statistically (lecun-normal
+    kernels by fan-in, zero biases, unit norm scales) from ``eval_shape``.
+    """
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, traj_len, model.input_dim)),
+                             jnp.ones(1)),
+        jax.random.key(seed))["params"]
+    rng = np.random.default_rng(seed)
+
+    def init_leaf(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("bias", "b"):
+            return jnp.zeros(s.shape, s.dtype)
+        if name in ("scale", "g"):
+            return jnp.ones(s.shape, s.dtype)
+        # kernels: fan_in = prod(all dims but last)
+        fan_in = max(int(np.prod(s.shape[:-1])), 1)
+        std = float(np.sqrt(1.0 / fan_in))
+        # truncated normal at 2 std like lecun_normal
+        vals = rng.normal(0.0, std, s.shape)
+        vals = np.clip(vals, -2 * std, 2 * std)
+        return jnp.asarray(vals, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(init_leaf, shapes)

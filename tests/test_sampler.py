@@ -127,3 +127,39 @@ def test_denoise_guided_is_jittable():
     x = run(jax.random.key(0))
     assert x.shape == (B, N, 7)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_denoise_guided_golden_trace():
+    """Fixed-seed regression trace: protects the sampler's reproduced
+    reference quirks (beta*z noise, cadence, clip-for-guide-only, per-sample
+    schedules) against accidental semantic drift.  Regenerate the constants
+    ONLY for intentional semantics changes."""
+    from edmp_tpu.models import temporal_unet as tu
+
+    T, B, N = 20, 3, 10
+    model = tu.TemporalUNet(input_dim=7, time_dim=8, dims=(8, 16))
+    params = tu.host_init_params(model, traj_len=N, seed=42)
+    sch = make_schedule(T)
+    scene = pack_scene(
+        np.array([[0.45, 0.0, 0.55, 0, 0, 0, 1, 0.4, 0.6, 0.5]]))
+    gp = GuideParams(
+        clearance=jnp.full((B, T), 0.05), expansion=jnp.full((B, T), 0.1),
+        guidance_method=jnp.asarray([0.0, 1.0, 0.0]),
+        grad_norm=jnp.asarray([0.0, 0.0, 1.0]),
+        guidance_schedule=jnp.full((B, T), 0.8),
+    )
+
+    def apply_fn(p, x, t):
+        return model.apply({"params": p}, x, t)
+
+    x = np.asarray(S.denoise_guided(
+        apply_fn, params, sch, scene, gp, jnp.zeros(7), jnp.ones(7) * 0.3,
+        jax.random.key(123), batch_size=B, traj_len=N))
+    assert float(x.sum()) == pytest.approx(9.488982, abs=2e-3)
+    assert float(np.abs(x).sum()) == pytest.approx(172.632202, abs=2e-2)
+    np.testing.assert_allclose(
+        x[1, 4], [1.21918, -1.338883, -0.02105, -0.633211, -1.016932,
+                  1.016012, 2.747002], atol=1e-4)
+    np.testing.assert_allclose(
+        x[2, 7], [0.128895, -2.598097, 0.594288, -0.921487, -0.469825,
+                  -1.639527, 0.456857], atol=1e-4)
