@@ -55,16 +55,32 @@ def random_problem(rng: np.random.Generator, n_obstacles: int = 6,
 
 
 def synthetic_packed_dataset(rng: np.random.Generator, n_scenes: int,
-                             n_obstacles: int = 6):
-    """A PackedDataset of synthetic problems with FK-consistent targets."""
+                             n_obstacles: int = 6, feasible: bool = True):
+    """A PackedDataset of synthetic problems with FK-consistent targets.
+
+    With ``feasible=True`` (default) obstacles that collide with the start or
+    goal configuration are dropped — the synthetic analogue of the MPiNets
+    'solvable problems' filtering, so success rates are meaningful.
+    """
     from edmp_tpu.data.problems import PackedDataset, Problem, SCENE_TYPES
     from edmp_tpu.robot.kinematics import numpy_ee_transform
+
+    oracle = None
+    if feasible:
+        from edmp_tpu.validation.oracle import TrajectoryOracle
+
+        oracle = TrajectoryOracle()
 
     problems = []
     for i in range(n_scenes):
         oc = random_obstacle_config(rng, n_obstacles)
         q0 = random_joint_config(rng)[0]
         goal = random_joint_config(rng)[0]
+        if oracle is not None:
+            keep = [o for o in oc
+                    if not (oracle.config_in_collision(q0, o[None])
+                            or oracle.config_in_collision(goal, o[None]))]
+            oc = (np.stack(keep) if keep else np.zeros((0, 10)))
         # host-side FK: eager jnp ops are pathologically slow on remote
         # (tunneled) backends — one tiny compile per op
         target = numpy_ee_transform(goal)
