@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from edmp_tpu import constants as C
-from edmp_tpu.costs.fast_guide import guidance_gradient_fast
+from edmp_tpu.costs.grad_kernel import guidance_gradient_manual
 from edmp_tpu.costs.guide import GuideParams
 from edmp_tpu.costs.obstacles import SceneObstacles, obstacle_aabbs
 from edmp_tpu.diffusion.schedule import DiffusionSchedule
@@ -96,10 +96,10 @@ def denoise_guided(
         B = x.shape[0]
         obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
         obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
-        # lane-major cost engine (costs/fast_guide.py): identical math,
-        # ~6x faster and ~30x cheaper to compile than the (...,3)-layout form
-        g = guidance_gradient_fast(interior, start, goal, obs_lo, obs_hi,
-                                   guide)
+        # hand-derived lane-major gradient (costs/grad_kernel.py): computes
+        # exactly the required adjoints, no autodiff graph
+        g = guidance_gradient_manual(interior, start, goal, obs_lo, obs_hi,
+                                     guide)
         scale = guide.guidance_schedule[:, t - 1][:, None, None]
         return x.at[:, 1:-1, :].add(-scale * g)
 

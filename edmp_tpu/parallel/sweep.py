@@ -170,14 +170,24 @@ def run_sweep(
         worker = threading.Thread(target=validator, daemon=True)
         worker.start()
 
-    Sb = sweep_cfg.scenes_per_batch
-    key = jax.random.key(sweep_cfg.seed)
-    for lo in range(0, len(pending), Sb):
-        chunk = pending[lo:lo + Sb]
-        # pad the tail chunk to keep shapes static (results discarded)
+    def record_host(item):
+        if worker is not None:
+            results_q.put(item)
+            return
+        idx_, b_, g_, c_, d_ = item
+        obs_cfg = dataset.scene_obstacle_config(int(idx_))
+        ok, _ = oracle.validate(b_, obs_cfg)
+        st_id = int(dataset.scene_type_id[int(idx_)])
+        state.record(SceneResult(
+            scene_index=int(idx_),
+            scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
+            success=bool(ok), swept_cost=float(c_),
+            plan_time=float(d_), goal=[float(x) for x in g_]))
+
+    def dispatch(chunk):
+        """Enqueue one chunk's device work (async — no host sync here)."""
         pad = Sb - len(chunk)
         idx = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
-
         scenes = stack_scenes(
             [pack_scene(dataset.scene_obstacle_config(int(i))) for i in idx])
         starts = jnp.asarray(dataset.q0[idx], jnp.float32)
@@ -188,31 +198,35 @@ def run_sweep(
                 np.linspace(-C.Q7_RANGE, C.Q7_RANGE,
                             sweep_cfg.n_q7_seeds - sweep_cfg.n_q7_seeds // 2),
             ]) for _ in idx])
-
-        t0 = time.perf_counter()
         goals, valid = ik_fn(targets, jnp.asarray(seeds, jnp.float32))
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(jax.random.key(sweep_cfg.seed),
+                                 int(chunk[0]))
         res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
-        best = np.asarray(res.best)
+        return chunk, res, time.perf_counter()
+
+    def drain(inflight):
+        """Materialize one dispatched chunk and hand results to the oracle."""
+        chunk, res, t0 = inflight
+        best = np.asarray(res.best)       # blocks until the device finishes
         goal_np = np.asarray(res.goal)
         costs = np.asarray(res.swept_costs)
         dt = (time.perf_counter() - t0) / max(len(chunk), 1)
-
         for row, scene_i in enumerate(chunk):
-            item = (scene_i, best[row], goal_np[row],
-                    costs[row].min(), dt)
-            if worker is not None:
-                results_q.put(item)
-            else:
-                idx_, b_, g_, c_, d_ = item
-                obs_cfg = dataset.scene_obstacle_config(int(idx_))
-                ok, _ = oracle.validate(b_, obs_cfg)
-                st_id = int(dataset.scene_type_id[int(idx_)])
-                state.record(SceneResult(
-                    scene_index=int(idx_),
-                    scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
-                    success=bool(ok), swept_cost=float(c_),
-                    plan_time=float(d_), goal=[float(x) for x in g_]))
+            record_host((scene_i, best[row], goal_np[row],
+                         costs[row].min(), dt))
+
+    Sb = sweep_cfg.scenes_per_batch
+    # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
+    # overlap chunk k's device execution and oracle validation
+    chunks = [pending[lo:lo + Sb] for lo in range(0, len(pending), Sb)]
+    inflight = None
+    for chunk in chunks:
+        nxt = dispatch(chunk)
+        if inflight is not None:
+            drain(inflight)
+        inflight = nxt
+    if inflight is not None:
+        drain(inflight)
 
     if worker is not None:
         results_q.put(None)

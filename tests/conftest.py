@@ -20,6 +20,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite compiles many small programs; caching
+# makes repeat runs (CI/driver) several times faster.  Must be set via
+# config.update — the env vars are consumed before conftest runs in this
+# environment.
+_cache = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 
