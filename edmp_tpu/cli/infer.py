@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--tag", default=None)
     ap.add_argument("--results-dir", default=None)
     ap.add_argument("--substeps", type=int, default=4)
+    ap.add_argument("--evaluate", action="store_true",
+                    help="run the full MPiNets metric protocol per scene")
+    ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
+    ap.add_argument("--ddim-steps", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--weights-npz", default=None,
@@ -139,12 +143,15 @@ def main(argv=None):
 
     plan_cfg = P.PlannerConfig(batch_size=cfg.total_batch_size,
                                traj_len=cfg.traj_len,
-                               num_channels=cfg.num_channels)
+                               num_channels=cfg.num_channels,
+                               sampler=args.sampler,
+                               ddim_steps=args.ddim_steps)
     sweep_cfg = SweepConfig(
         scenes_per_batch=args.scenes_per_batch,
         substeps=args.substeps,
         seed=args.seed,
         results_dir=results_dir,
+        full_evaluation=args.evaluate,
     )
 
     t0 = time.time()

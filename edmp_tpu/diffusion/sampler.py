@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from edmp_tpu import constants as C
 from edmp_tpu.costs.grad_kernel import guidance_gradient_manual
@@ -149,6 +150,69 @@ def denoise_guided(
         return _pin_endpoints(x, start, goal), ()
 
     x, _ = jax.lax.scan(step, x, jnp.arange(T, 0, -1))
+    return x
+
+
+def denoise_guided_ddim(
+    apply_fn: Callable,
+    params,
+    schedule: DiffusionSchedule,
+    scene: SceneObstacles,
+    guide: GuideParams,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    batch_size: int,
+    num_steps: int = 32,
+    traj_len: int = C.DEFAULT_TRAJ_LEN,
+    num_channels: int = C.DEFAULT_NUM_CHANNELS,
+):
+    """Accelerated guided sampling: deterministic DDIM (eta=0) over a
+    ``num_steps``-point subsequence of the T-step schedule, with ensemble
+    guidance applied at EVERY coarse step.
+
+    A capability beyond the reference (which always runs all T reverse
+    steps): ~T/num_steps fewer UNet evaluations at some quality cost; the
+    per-sample hyperparameter schedules index the original timesteps, so the
+    ensemble semantics carry over unchanged.
+    """
+    T = schedule.T
+    start = jnp.asarray(start, jnp.float32)
+    goal = jnp.asarray(goal, jnp.float32)
+
+    # integer timestep subsequence T = tau_0 > tau_1 > ... > tau_{K-1} = 1
+    taus = np.unique(np.round(np.linspace(T, 1, num_steps)).astype(np.int64))[::-1]
+    taus = jnp.asarray(taus.copy())
+    K = taus.shape[0]
+
+    init_key, _ = jax.random.split(rng)
+    x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
+    x = _pin_endpoints(x, start, goal)
+
+    def step(x, k):
+        t = taus[k]
+        t_next = jnp.where(k + 1 < K, taus[jnp.minimum(k + 1, K - 1)], 0)
+        eps = apply_fn(params, x, t.astype(jnp.float32)[None])
+        ab_t = schedule.alpha_bar[t - 1]
+        ab_n = jnp.where(t_next >= 1, schedule.alpha_bar[t_next - 1], 1.0)
+        x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
+        x = jnp.sqrt(ab_n) * x0 + jnp.sqrt(1.0 - ab_n) * eps
+
+        interior = clip_joints(x[:, 1:-1, :])
+        obs_lo, obs_hi = obstacle_aabbs(
+            scene, expansion=guide.expansion[:, t - 1],
+            clearance=guide.clearance[:, t - 1])
+        B = x.shape[0]
+        obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
+        obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
+        g = guidance_gradient_manual(interior, start, goal, obs_lo, obs_hi,
+                                     guide)  # includes the grad_norm option
+        scale = guide.guidance_schedule[:, t - 1][:, None, None]
+        x = x.at[:, 1:-1, :].add(-scale * g)
+        return _pin_endpoints(x, start, goal), ()
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(K))
     return x
 
 

@@ -48,6 +48,9 @@ class SweepConfig:
     n_q7_seeds: int = 100
     results_dir: str = "./results"
     oracle_threads: bool = True
+    # run the full MPiNets metric protocol (position/orientation buckets,
+    # SPARC, path lengths) per scene in addition to the success oracle
+    full_evaluation: bool = False
 
 
 @dataclasses.dataclass
@@ -58,6 +61,7 @@ class SceneResult:
     swept_cost: float
     plan_time: float
     goal: List[float]
+    metrics: Optional[dict] = None  # full_evaluation fields when enabled
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -107,6 +111,28 @@ class SweepState:
         out["overall"] = {"n": total_n, "successes": total_s,
                           "success_rate":
                           100.0 * total_s / total_n if total_n else 0.0}
+        # aggregate the full-evaluation protocol when present
+        with_metrics = [r["metrics"] for r in self.completed.values()
+                        if r.get("metrics")]
+        if with_metrics:
+            n = len(with_metrics)
+            out["protocol"] = {
+                "n": n,
+                "success_rate": 100.0 * sum(
+                    m["protocol_success"] for m in with_metrics) / n,
+                "within_1cm": 100.0 * sum(
+                    m["position_error"] < 0.01 for m in with_metrics) / n,
+                "within_5cm": 100.0 * sum(
+                    m["position_error"] < 0.05 for m in with_metrics) / n,
+                "within_15deg": 100.0 * sum(
+                    m["orientation_error"] < 15 for m in with_metrics) / n,
+                "within_30deg": 100.0 * sum(
+                    m["orientation_error"] < 30 for m in with_metrics) / n,
+                "mean_ee_path_length": float(np.mean(
+                    [m["ee_path_length"] for m in with_metrics])),
+                "mean_joint_smoothness": float(np.mean(
+                    [m["joint_smoothness"] for m in with_metrics])),
+            }
         return out
 
 
@@ -144,26 +170,49 @@ def run_sweep(
     plan_fn = P.make_batched_plan_fn(model, schedule, plan_cfg)
     ik_fn = _ik_targets_fn()
     oracle = TrajectoryOracle(substeps=sweep_cfg.substeps)
+    evaluator = None
+    if sweep_cfg.full_evaluation:
+        from edmp_tpu.metrics.evaluator import Evaluator
+
+        evaluator = Evaluator(substeps=sweep_cfg.substeps)
 
     results_q: "queue.Queue" = queue.Queue()
+
+    def _validate_and_record(item):
+        idx, best, goal, cost, dt = item
+        obs_cfg = dataset.scene_obstacle_config(int(idx))
+        ok, _ = oracle.validate(best, obs_cfg)
+        metrics = None
+        if evaluator is not None:
+            ev = evaluator.evaluate_trajectory(
+                best, np.asarray(dataset.target[int(idx)], np.float64),
+                obs_cfg, planning_time=float(dt))
+            metrics = {
+                "position_error": ev.position_error,
+                "orientation_error": ev.orientation_error,
+                "protocol_success": ev.success,
+                "joint_smoothness": ev.joint_smoothness,
+                "ee_smoothness": ev.ee_smoothness,
+                "joint_path_length": ev.joint_path_length,
+                "ee_path_length": ev.ee_path_length,
+            }
+        st_id = int(dataset.scene_type_id[int(idx)])
+        state.record(SceneResult(
+            scene_index=int(idx),
+            scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
+            success=bool(ok),
+            swept_cost=float(cost),
+            plan_time=float(dt),
+            goal=[float(x) for x in goal],
+            metrics=metrics,
+        ))
 
     def validator():
         while True:
             item = results_q.get()
             if item is None:
                 return
-            idx, best, goal, cost, dt = item
-            obs_cfg = dataset.scene_obstacle_config(int(idx))
-            ok, _ = oracle.validate(best, obs_cfg)
-            st_id = int(dataset.scene_type_id[int(idx)])
-            state.record(SceneResult(
-                scene_index=int(idx),
-                scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
-                success=bool(ok),
-                swept_cost=float(cost),
-                plan_time=float(dt),
-                goal=[float(x) for x in goal],
-            ))
+            _validate_and_record(item)
 
     worker = None
     if sweep_cfg.oracle_threads:
@@ -174,15 +223,7 @@ def run_sweep(
         if worker is not None:
             results_q.put(item)
             return
-        idx_, b_, g_, c_, d_ = item
-        obs_cfg = dataset.scene_obstacle_config(int(idx_))
-        ok, _ = oracle.validate(b_, obs_cfg)
-        st_id = int(dataset.scene_type_id[int(idx_)])
-        state.record(SceneResult(
-            scene_index=int(idx_),
-            scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
-            success=bool(ok), swept_cost=float(c_),
-            plan_time=float(d_), goal=[float(x) for x in g_]))
+        _validate_and_record(item)
 
     def dispatch(chunk):
         """Enqueue one chunk's device work (async — no host sync here)."""

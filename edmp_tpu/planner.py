@@ -21,8 +21,23 @@ from edmp_tpu import constants as C
 from edmp_tpu.costs.guide import (GuideParams, ik_goal_volumes,
                                   swept_cost_per_sample)
 from edmp_tpu.costs.obstacles import SceneObstacles
-from edmp_tpu.diffusion.sampler import denoise_guided
+from edmp_tpu.diffusion.sampler import denoise_guided, denoise_guided_ddim
 from edmp_tpu.diffusion.schedule import DiffusionSchedule
+
+
+def _run_sampler(apply_fn, params, schedule, scene, guide, start, goal, rng,
+                 cfg: "PlannerConfig", batch_size: int):
+    if cfg.sampler == "ddim":
+        return denoise_guided_ddim(
+            apply_fn, params, schedule, scene, guide, start, goal, rng,
+            batch_size=batch_size, num_steps=cfg.ddim_steps,
+            traj_len=cfg.traj_len, num_channels=cfg.num_channels)
+    return denoise_guided(
+        apply_fn, params, schedule, scene, guide, start, goal, rng,
+        batch_size=batch_size, traj_len=cfg.traj_len,
+        num_channels=cfg.num_channels,
+        guidance_period=cfg.guidance_period,
+        guidance_min_t=cfg.guidance_min_t)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +50,10 @@ class PlannerConfig:
     # The driver overrides every guide's trust region with this constant
     # (infer_serial.py:125).
     volume_trust_region: float = 8.0e-4
+    # sampler: 'ddpm' = reference-parity full-T reverse process;
+    # 'ddim' = accelerated deterministic subsequence sampling
+    sampler: str = "ddpm"
+    ddim_steps: int = 32
 
 
 class PlanResult(NamedTuple):
@@ -82,13 +101,8 @@ def plan(
     goal = select_goal(ik_goals, ik_valid, start, scene,
                        cfg.volume_trust_region)
 
-    trajs = denoise_guided(
-        apply_fn, params, schedule, scene, guide, start, goal, rng,
-        batch_size=cfg.batch_size, traj_len=cfg.traj_len,
-        num_channels=cfg.num_channels,
-        guidance_period=cfg.guidance_period,
-        guidance_min_t=cfg.guidance_min_t,
-    )
+    trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
+                         goal, rng, cfg, cfg.batch_size)
 
     costs = swept_cost_per_sample(trajs[:, 1:-1, :], start, goal, scene)
     best_idx = jnp.argmin(costs)
@@ -164,14 +178,8 @@ def plan_scenes(
     start_s = jnp.repeat(starts, B, axis=0)
     goal_s = jnp.repeat(goals, B, axis=0)
 
-    trajs = denoise_guided(
-        apply_fn, params, schedule, sample_scene, guide_folded,
-        start_s, goal_s, rng,
-        batch_size=S * B, traj_len=cfg.traj_len,
-        num_channels=cfg.num_channels,
-        guidance_period=cfg.guidance_period,
-        guidance_min_t=cfg.guidance_min_t,
-    )
+    trajs = _run_sampler(apply_fn, params, schedule, sample_scene,
+                         guide_folded, start_s, goal_s, rng, cfg, S * B)
 
     costs = swept_cost_per_sample(trajs[:, 1:-1, :], start_s, goal_s,
                                   sample_scene)

@@ -163,3 +163,59 @@ def test_denoise_guided_golden_trace():
     np.testing.assert_allclose(
         x[2, 7], [0.128895, -2.598097, 0.594288, -0.921487, -0.469825,
                   -1.639527, 0.456857], atol=1e-4)
+
+
+def test_ddim_sampler_shapes_and_guidance():
+    """DDIM accelerated mode: correct shapes, endpoints pinned, guidance
+    reduces swept volume like the full sampler."""
+    from edmp_tpu.costs.guide import swept_cost_per_sample
+
+    T, B, N = 40, 6, 12
+    sch = make_schedule(T)
+    scene = pack_scene(np.array([[0.45, 0.0, 0.55, 0, 0, 0, 1, 0.5, 0.9, 0.7]]))
+    start = jnp.zeros(7)
+    goal = jnp.asarray([1.2, 0.8, 0.0, -1.2, 0.0, 1.5, 0.0])
+    on = GuideParams(
+        clearance=jnp.full((B, T), 0.05), expansion=jnp.zeros((B, T)),
+        guidance_method=jnp.zeros(B), grad_norm=jnp.zeros(B),
+        guidance_schedule=jnp.full((B, T), 1.5))
+    off = on._replace(guidance_schedule=jnp.zeros((B, T)))
+    key = jax.random.key(5)
+    xs = {}
+    for tag, gp in (("on", on), ("off", off)):
+        x = S.denoise_guided_ddim(_dummy_apply, None, sch, scene, gp,
+                                  start, goal, key, batch_size=B,
+                                  traj_len=N, num_steps=8)
+        assert x.shape == (B, N, 7)
+        np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x[:, -1]), np.asarray(goal)[None],
+                                   atol=1e-5)
+        xs[tag] = x
+    c_on = float(jnp.mean(swept_cost_per_sample(xs["on"][:, 1:-1], start, goal, scene)))
+    c_off = float(jnp.mean(swept_cost_per_sample(xs["off"][:, 1:-1], start, goal, scene)))
+    assert c_on < c_off
+
+
+def test_planner_ddim_mode(rng):
+    from edmp_tpu import planner as P
+    from edmp_tpu.config import GuideConfig, pack_ensemble
+    from edmp_tpu.data import synthetic
+    from edmp_tpu.models import temporal_unet as tu
+
+    T, N = 16, 12
+    model = tu.TemporalUNet(input_dim=7, time_dim=8, dims=(8, 16))
+    params = tu.init_params(jax.random.key(0), model, traj_len=N)
+    sch = make_schedule(T)
+    seg = (((0, 8), (0.0, 0.0)), ((8, 12), (0.0, 0.0)), ((12, 16), (0.0, 0.0)))
+    gcfg = GuideConfig((0.05, 0.05), seg, "sv", False, "constant", 0.2, 8e-4)
+    gp, _ = pack_ensemble([gcfg], batch_per_guide=2, T=T)
+    cfg = P.PlannerConfig(batch_size=2, traj_len=N, sampler="ddim",
+                          ddim_steps=6)
+    oc, st, gl, va = synthetic.random_problem(rng)
+    from edmp_tpu.costs.obstacles import pack_scene as ps
+
+    fn = P.make_plan_fn(model, sch, cfg)
+    res = fn(params, ps(oc), gp, jnp.asarray(st, jnp.float32),
+             jnp.asarray(gl, jnp.float32), jnp.asarray(va), jax.random.key(0))
+    assert res.best.shape == (N, 7)
+    assert bool(jnp.all(jnp.isfinite(res.trajectories)))
