@@ -188,8 +188,9 @@ def test_ddim_sampler_shapes_and_guidance():
                                   traj_len=N, num_steps=8)
         assert x.shape == (B, N, 7)
         np.testing.assert_allclose(np.asarray(x[:, 0]), 0.0, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(x[:, -1]), np.asarray(goal)[None],
-                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(x[:, -1]),
+            np.broadcast_to(np.asarray(goal), (B, 7)), atol=1e-5)
         xs[tag] = x
     c_on = float(jnp.mean(swept_cost_per_sample(xs["on"][:, 1:-1], start, goal, scene)))
     c_off = float(jnp.mean(swept_cost_per_sample(xs["off"][:, 1:-1], start, goal, scene)))
