@@ -42,7 +42,7 @@ N_OBSTACLES = 8
 N_IK = 32
 
 
-def build_workload(n_scenes):
+def build_workload(n_scenes, sampler="ddpm", ddim_steps=32):
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +79,8 @@ def build_workload(n_scenes):
     params = jax.tree.map(
         lambda s: jnp.asarray(host.normal(0, 0.02, s.shape), s.dtype), shapes)
     sch = make_schedule(T_STEPS)
-    cfg = P.PlannerConfig(batch_size=BATCH, traj_len=TRAJ_LEN)
+    cfg = P.PlannerConfig(batch_size=BATCH, traj_len=TRAJ_LEN,
+                          sampler=sampler, ddim_steps=ddim_steps)
 
     scenes, starts, goals, valids = [], [], [], []
     for _ in range(n_scenes):
@@ -99,12 +100,12 @@ def build_workload(n_scenes):
     return model, sch, cfg, args
 
 
-def run_tpu(n_scenes, reps):
+def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32):
     import jax
 
     from edmp_tpu import planner as P
 
-    model, sch, cfg, args = build_workload(n_scenes)
+    model, sch, cfg, args = build_workload(n_scenes, sampler, ddim_steps)
     fn = P.make_batched_plan_fn(model, sch, cfg)
 
     res = fn(*args)  # compile + warm
@@ -177,6 +178,8 @@ def main():
     ap.add_argument("--scenes", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
+    ap.add_argument("--ddim-steps", type=int, default=32)
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -188,13 +191,15 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    value = run_tpu(args.scenes, args.reps)
+    value = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps)
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f).get("serial_scenes_per_sec")
     vs = value / baseline if baseline else None
-    print(json.dumps({"metric": "scenes_per_sec_cfg1", "value": round(value, 4),
+    metric = ("scenes_per_sec_cfg1" if args.sampler == "ddpm"
+              else f"scenes_per_sec_ddim{args.ddim_steps}")
+    print(json.dumps({"metric": metric, "value": round(value, 4),
                       "unit": "scenes/s",
                       "vs_baseline": round(vs, 2) if vs else None}))
 
