@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from edmp_tpu.diffusion.schedule import DiffusionSchedule
 

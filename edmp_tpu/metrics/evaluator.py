@@ -18,7 +18,7 @@ thresholds alone — flagged in the result so aggregates stay honest.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -3,7 +3,6 @@ blocks, interpolation/smoothness costs, SDF primitives, normalization,
 environment facade."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

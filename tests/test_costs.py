@@ -8,7 +8,7 @@ import pytest
 
 from edmp_tpu import constants as C
 from edmp_tpu.costs import guide as G
-from edmp_tpu.costs.obstacles import SceneObstacles, obstacle_aabbs, pack_scene
+from edmp_tpu.costs.obstacles import obstacle_aabbs, pack_scene
 
 
 def box_cfg(center, dims, quat=(0, 0, 0, 1)):

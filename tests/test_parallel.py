@@ -6,7 +6,6 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as Pspec
 
 from edmp_tpu.parallel import collectives as coll
 from edmp_tpu.parallel import mesh as M

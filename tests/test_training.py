@@ -2,7 +2,6 @@
 round trip, HDF5 ingestion, inference-weight export."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
