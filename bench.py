@@ -42,7 +42,7 @@ N_OBSTACLES = 8
 N_IK = 32
 
 
-def build_workload(n_scenes, sampler="ddpm", ddim_steps=32):
+def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32):
         ))
     gp, _ = pack_ensemble(guides, SAMPLES_PER_GUIDE, T_STEPS)
 
-    model = tu.create_model()
+    model = tu.create_model(dtype=jnp.bfloat16 if bf16 else None)
     # host-side init: eval_shape + numpy fill (values are irrelevant for
     # throughput; avoids a ~3 min device compile of model.init via tunnel)
     shapes = jax.eval_shape(
@@ -100,12 +100,12 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32):
     return model, sch, cfg, args
 
 
-def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32):
+def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False):
     import jax
 
     from edmp_tpu import planner as P
 
-    model, sch, cfg, args = build_workload(n_scenes, sampler, ddim_steps)
+    model, sch, cfg, args = build_workload(n_scenes, sampler, ddim_steps, bf16)
     fn = P.make_batched_plan_fn(model, sch, cfg)
 
     res = fn(*args)  # compile + warm
@@ -180,6 +180,8 @@ def main():
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=32)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 conv/dense compute in the denoiser")
     args = ap.parse_args()
 
     if args.measure_baseline:
@@ -191,7 +193,8 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    value = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps)
+    value = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
+                    args.bf16)
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -199,6 +202,8 @@ def main():
     vs = value / baseline if baseline else None
     metric = ("scenes_per_sec_cfg1" if args.sampler == "ddpm"
               else f"scenes_per_sec_ddim{args.ddim_steps}")
+    if args.bf16:
+        metric += "_bf16"
     print(json.dumps({"metric": metric, "value": round(value, 4),
                       "unit": "scenes/s",
                       "vs_baseline": round(vs, 2) if vs else None}))

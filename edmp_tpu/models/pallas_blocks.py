@@ -38,29 +38,36 @@ def _make_kernel(kernel_size: int, num_groups: int, eps: float):
         pad = kernel_size // 2
 
         acc = jnp.zeros((L, Cout), jnp.float32)
-        # conv as k shifted matmuls: y[t] = sum_k x[t + k - pad] @ W[k]
+        # conv as k shifted matmuls: y[t] = sum_k x[t + k - pad] @ W[k].
+        # One zero-pad up front, then fixed-length slices per tap — avoids
+        # zero-size slices at tiny horizons (L=2 at the UNet's bottom level).
+        zpad = jnp.zeros((pad, Cin), x.dtype)
+        xpad = jnp.concatenate([zpad, x, zpad], axis=0)  # (L + 2*pad, Cin)
         for k in range(kernel_size):
-            shift = k - pad
-            if shift < 0:
-                shifted = jnp.concatenate(
-                    [jnp.zeros((-shift, Cin), x.dtype), x[: L + shift, :]],
-                    axis=0)
-            elif shift > 0:
-                shifted = jnp.concatenate(
-                    [x[shift:, :], jnp.zeros((shift, Cin), x.dtype)], axis=0)
-            else:
-                shifted = x
-            acc = acc + jnp.dot(shifted, w_ref[k],
+            acc = acc + jnp.dot(xpad[k:k + L, :], w_ref[k],
                                 preferred_element_type=jnp.float32)
         acc = acc + b_ref[:]
 
-        # GroupNorm: stats over (L, C/num_groups) per group
+        # GroupNorm: stats over (L, C/num_groups) per contiguous group.
+        # Mosaic can't reshape across the lane dim ((L,C)->(L,g,cg)), so the
+        # group reductions/broadcasts go through a (C, g) membership matrix.
         cg = Cout // num_groups
-        y = acc.reshape(L, num_groups, cg)
-        mean = jnp.mean(y, axis=(0, 2), keepdims=True)
-        var = jnp.mean((y - mean) ** 2, axis=(0, 2), keepdims=True)
-        y = (y - mean) * jax.lax.rsqrt(var + eps)
-        y = y.reshape(L, Cout) * scale_ref[:] + bias_ref[:]
+        group_id = jax.lax.broadcasted_iota(jnp.int32, (Cout, num_groups), 0) // cg
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (Cout, num_groups), 1)
+        member = (group_id == gidx).astype(jnp.float32)      # (C, g)
+
+        n = jnp.float32(L * cg)
+        ch_sum = jnp.sum(acc, axis=0, keepdims=True)          # (1, C)
+        ch_sumsq = jnp.sum(acc * acc, axis=0, keepdims=True)  # (1, C)
+        g_mean = jnp.dot(ch_sum, member,
+                         preferred_element_type=jnp.float32) / n     # (1, g)
+        g_var = jnp.dot(ch_sumsq, member,
+                        preferred_element_type=jnp.float32) / n - g_mean ** 2
+        mean_c = jnp.dot(g_mean, member.T,
+                         preferred_element_type=jnp.float32)         # (1, C)
+        rstd_c = jnp.dot(jax.lax.rsqrt(g_var + eps), member.T,
+                         preferred_element_type=jnp.float32)
+        y = (acc - mean_c) * rstd_c * scale_ref[:] + bias_ref[:]
 
         o_ref[0] = _mish(y)
 

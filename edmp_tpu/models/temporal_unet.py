@@ -55,18 +55,63 @@ class TimeEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="dense2")(e)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only holder mirroring nn.Conv's param tree ({kernel, bias})
+    so the Pallas path shares checkpoints with the XLA path."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _NormParams(nn.Module):
+    """Parameter-only holder mirroring nn.GroupNorm's {scale, bias}."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class Conv1dBlock(nn.Module):
     """Conv1d(k, pad=k//2) -> GroupNorm(8) -> Mish  (blocks.py:13-34).
 
     Convs compute in ``dtype`` (e.g. bfloat16); GroupNorm statistics stay in
-    float32 for stability."""
+    float32 for stability.
+
+    ``use_pallas=True`` routes the whole block through the fused Pallas TPU
+    kernel (models/pallas_blocks.py) — one kernel instead of conv+GN+Mish.
+    Same parameter tree, so checkpoints are interchangeable.  Forward-only
+    (no custom VJP): inference path; training keeps the XLA path."""
 
     features: int
     kernel_size: int
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.use_pallas:
+            from edmp_tpu.models import pallas_blocks as PB
+
+            kernel, cbias = _ConvParams(self.features, self.kernel_size,
+                                        x.shape[-1], name="conv")()
+            scale, nbias = _NormParams(self.features, name="norm")()
+            interpret = jax.default_backend() != "tpu"
+            return PB.conv1d_block(
+                x.astype(jnp.float32), kernel, cbias, scale, nbias,
+                kernel_size=self.kernel_size, interpret=interpret)
         p = self.kernel_size // 2
         x = nn.Conv(self.features, (self.kernel_size,), padding=[(p, p)],
                     dtype=self.dtype, name="conv")(x)
@@ -82,17 +127,18 @@ class ResConvBlock(nn.Module):
     features: int
     kernel_size: int = 5
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
         out = Conv1dBlock(self.features, self.kernel_size, self.dtype,
-                          name="block1")(x)
+                          self.use_pallas, name="block1")(x)
         # TimeMLP: Mish -> Dense, broadcast over the horizon (blocks.py:58-72)
         tsig = nn.Dense(self.features, dtype=self.dtype,
                         name="time_dense")(mish(temb))
         out = out + tsig[:, None, :]
         out = Conv1dBlock(self.features, self.kernel_size, self.dtype,
-                          name="block2")(out)
+                          self.use_pallas, name="block2")(out)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1,), dtype=self.dtype,
                         name="residual_conv")(x)
@@ -182,11 +228,14 @@ class DownSampler(nn.Module):
     is_last: bool = False
     use_attention: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
-        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb1")(x, temb)
-        h = ResConvBlock(self.features, dtype=self.dtype, name="rcb2")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="rcb1")(x, temb)
+        h = ResConvBlock(self.features, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="rcb2")(x, temb)
         if self.use_attention:
             h = ResidualAttentionBlock(name="attn")(h)
         if self.is_last:
@@ -200,13 +249,16 @@ class MiddleBlock(nn.Module):
     features: int
     use_attention: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, temb):
-        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb1")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="rcb1")(x, temb)
         if self.use_attention:
             x = ResidualAttentionBlock(name="attn")(x)
-        return ResConvBlock(self.features, dtype=self.dtype, name="rcb2")(x, temb)
+        return ResConvBlock(self.features, dtype=self.dtype,
+                            use_pallas=self.use_pallas, name="rcb2")(x, temb)
 
 
 class UpSampler(nn.Module):
@@ -216,12 +268,15 @@ class UpSampler(nn.Module):
     features: int  # dim_in of the reference
     use_attention: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, h, temb):
         x = jnp.concatenate([x, h], axis=-1)
-        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb1")(x, temb)
-        x = ResConvBlock(self.features, dtype=self.dtype, name="rcb2")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="rcb1")(x, temb)
+        x = ResConvBlock(self.features, dtype=self.dtype,
+                         use_pallas=self.use_pallas, name="rcb2")(x, temb)
         if self.use_attention:
             x = ResidualAttentionBlock(name="attn")(x)
         return ConvTranspose1dTorch(self.features, dtype=self.dtype,
@@ -236,6 +291,7 @@ class TemporalUNet(nn.Module):
     dims: Sequence[int] = (32, 64, 128, 256, 512, 512)
     use_attention: bool = False  # identity slots in the shipped checkpoints
     dtype: Any = None  # compute dtype for convs/denses (e.g. jnp.bfloat16)
+    use_pallas: bool = False  # fused Conv1dBlock kernels (inference only)
 
     @nn.compact
     def __call__(self, x, t):
@@ -252,32 +308,34 @@ class TemporalUNet(nn.Module):
         for i in range(n_down):
             is_last = i == n_down - 1
             x, h = DownSampler(all_dims[i + 1], is_last, self.use_attention,
-                               self.dtype, name=f"down_{i}")(x, temb)
+                               self.dtype, self.use_pallas,
+                               name=f"down_{i}")(x, temb)
             skips.append(h)
 
         x = MiddleBlock(all_dims[-1], self.use_attention, self.dtype,
-                        name="middle")(x, temb)
+                        self.use_pallas, name="middle")(x, temb)
 
         for u, i in enumerate(range(n_down, 1, -1)):
             h = skips.pop()
             x = UpSampler(all_dims[i - 1], self.use_attention, self.dtype,
-                          name=f"up_{u}")(x, h, temb)
+                          self.use_pallas, name=f"up_{u}")(x, h, temb)
             # odd-length crop hack (temporalunet.py:70-71): lengths are
             # static under jit, so this is trace-time control flow.
             if x.shape[1] in (8, 14, 26):
                 x = x[:, :-1, :]
 
-        x = Conv1dBlock(all_dims[1], 5, self.dtype, name="final_block")(x)
+        x = Conv1dBlock(all_dims[1], 5, self.dtype, self.use_pallas,
+                        name="final_block")(x)
         out = nn.Conv(self.input_dim, (1,), dtype=self.dtype,
                       name="final_conv")(x)
         return out.astype(jnp.float32)
 
 
 def create_model(input_dim=7, time_dim=32, dims=(32, 64, 128, 256, 512, 512),
-                 dtype=None, use_attention=False):
+                 dtype=None, use_attention=False, use_pallas=False):
     return TemporalUNet(input_dim=input_dim, time_dim=time_dim,
                         dims=tuple(dims), dtype=dtype,
-                        use_attention=use_attention)
+                        use_attention=use_attention, use_pallas=use_pallas)
 
 
 def init_params(rng, model: TemporalUNet, traj_len: int = 50):
