@@ -61,17 +61,28 @@ def denoise_guided(
     num_channels: int = C.DEFAULT_NUM_CHANNELS,
     guidance_period: int = 2,
     guidance_min_t: int = 5,
+    init_noise=None,
+    step_noise=None,
 ):
     """Run the full guided reverse process.  Returns (B, N, C) trajectories.
 
     apply_fn(params, x, t) -> epsilon with x (B, N, C) and t a (1,) float.
+
+    ``init_noise`` (B, N, C) and ``step_noise`` (T, B, N, C) optionally inject
+    the exact noise draws (x_T and the per-step posterior z, indexed
+    ``step_noise[t-1]``) so a reference execution trace can be reproduced
+    head-to-head (tests/test_reference_parity.py); production paths leave them
+    None and draw from ``rng``.
     """
     T = schedule.T
     start = jnp.asarray(start, jnp.float32)
     goal = jnp.asarray(goal, jnp.float32)
 
     init_key, loop_key = jax.random.split(rng)
-    x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
+    if init_noise is None:
+        x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
+    else:
+        x = jnp.asarray(init_noise, jnp.float32)
     x = _pin_endpoints(x, start, goal)
 
     def model_step(x, t):
@@ -81,7 +92,10 @@ def denoise_guided(
         alpha = schedule.alpha[t - 1]
         alpha_bar = schedule.alpha_bar[t - 1]
         beta = schedule.beta[t - 1]
-        z = jax.random.normal(jax.random.fold_in(loop_key, t), x.shape)
+        if step_noise is None:
+            z = jax.random.normal(jax.random.fold_in(loop_key, t), x.shape)
+        else:
+            z = jnp.asarray(step_noise, jnp.float32)[t - 1]
         z = jnp.where(jnp.asarray(t) == 1, 0.0, z)
         x = (x - ((1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)) * eps) \
             / jnp.sqrt(alpha)
