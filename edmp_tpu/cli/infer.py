@@ -154,10 +154,20 @@ def main(argv=None):
         full_evaluation=args.evaluate,
     )
 
+    # all local chips participate: scenes shard over a 1-axis mesh (the
+    # single-device case degenerates to the plain jit path)
+    mesh = None
+    if jax.local_device_count() > 1:
+        from edmp_tpu.parallel.mesh import make_local_mesh
+
+        mesh = make_local_mesh()
+        print(f"mesh: {mesh.size} devices on '{mesh.axis_names[0]}'")
+
     t0 = time.time()
     state = run_sweep(model, params, make_schedule(cfg.T), gp, dataset,
                       plan_cfg, sweep_cfg, tag=tag,
-                      max_scenes=args.max_scenes)
+                      max_scenes=args.max_scenes, mesh=mesh,
+                      guide_ids=cfg.guide_ids)
     dt = time.time() - t0
     summary = state.summary()
     summary["wall_time_s"] = round(dt, 2)

@@ -83,7 +83,11 @@ def pack_ensemble(guides: Sequence[GuideConfig], batch_per_guide: int,
         clearance[rows, :] = np.linspace(g.clearance_range[0],
                                          g.clearance_range[1], T)
         for (lo, hi), (v0, v1) in g.expansion_segments:
-            expansion[rows, lo:hi] = np.linspace(v0, v1, num=abs(hi - lo))
+            # segment index ranges are authored for T=255; clip for smaller
+            # test schedules (no-op at the reference T)
+            seg = np.linspace(v0, v1, num=abs(hi - lo))
+            lo_c, hi_c = min(lo, T), min(hi, T)
+            expansion[rows, lo_c:hi_c] = seg[:max(hi_c - lo_c, 0)]
         method[rows] = 1.0 if g.guidance_method == "sv" else 0.0
         gnorm[rows] = 1.0 if g.grad_norm else 0.0
         if g.schedule_type == "varying":

@@ -26,6 +26,13 @@ def make_mesh(n_devices: int | None = None, axis: str = SCENE_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_local_mesh(axis: str = SCENE_AXIS) -> Mesh:
+    """Mesh over this host's chips only — pairs with the per-host scene
+    sharding of the sweep (each host runs its own data-parallel mesh; scene
+    spools are per-host, so no global arrays are needed)."""
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
+
+
 def scene_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding for per-scene arrays/pytrees."""
     return NamedSharding(mesh, P(SCENE_AXIS))

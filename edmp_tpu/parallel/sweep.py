@@ -62,6 +62,11 @@ class SceneResult:
     plan_time: float
     goal: List[float]
     metrics: Optional[dict] = None  # full_evaluation fields when enabled
+    # ensemble attribution: which guide produced the selected trajectory and
+    # each guide's own best (min) swept cost keyed by guide id — EDMP's core
+    # ensemble claim made inspectable per scene
+    winning_guide: Optional[int] = None
+    per_guide_min_cost: Optional[Dict[str, float]] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -111,6 +116,33 @@ class SweepState:
         out["overall"] = {"n": total_n, "successes": total_s,
                           "success_rate":
                           100.0 * total_s / total_n if total_n else 0.0}
+        # per-guide ensemble attribution (win = produced the selected
+        # trajectory; min-cost stats over each guide's own best sample)
+        wins: Dict[int, int] = {}
+        win_success: Dict[int, int] = {}
+        costs_by_guide: Dict[int, List[float]] = {}
+        for rec in self.completed.values():
+            g = rec.get("winning_guide")
+            if g is None:
+                continue
+            wins[g] = wins.get(g, 0) + 1
+            win_success[g] = win_success.get(g, 0) + int(rec["success"])
+            for gi, c in (rec.get("per_guide_min_cost") or {}).items():
+                costs_by_guide.setdefault(int(gi), []).append(c)
+        if wins:
+            n_attr = sum(wins.values())
+            out["per_guide"] = {
+                str(g): {
+                    "wins": wins[g],
+                    "win_rate": 100.0 * wins[g] / n_attr,
+                    "successes_when_winning": win_success[g],
+                } for g in sorted(wins)
+            }
+            if costs_by_guide:
+                out["per_guide_min_cost_mean"] = {
+                    str(g): float(np.mean(cs))
+                    for g, cs in sorted(costs_by_guide.items())
+                }
         # aggregate the full-evaluation protocol when present
         with_metrics = [r["metrics"] for r in self.completed.values()
                         if r.get("metrics")]
@@ -156,7 +188,17 @@ def run_sweep(
     sweep_cfg: SweepConfig,
     tag: str = "run",
     max_scenes: Optional[int] = None,
+    mesh=None,
+    guide_ids: Optional[List[int]] = None,
 ) -> SweepState:
+    """Run (or resume) the sweep.
+
+    ``mesh``: shard the scene batch over all local devices (scenes axis);
+    single-device behaviour is unchanged when None.  ``guide_ids``: enables
+    per-guide ensemble attribution in the spool/summary (winning guide id +
+    per-guide min swept cost; batch layout H guides x B/H samples,
+    infer_serial.py:56-91).
+    """
     state = SweepState(sweep_cfg.results_dir, tag)
     rng = np.random.default_rng(sweep_cfg.seed)
 
@@ -167,7 +209,11 @@ def run_sweep(
     if len(pending) == 0:
         return state
 
-    plan_fn = P.make_batched_plan_fn(model, schedule, plan_cfg)
+    Sb = sweep_cfg.scenes_per_batch
+    if mesh is not None and Sb % mesh.size != 0:
+        Sb = -(-Sb // mesh.size) * mesh.size  # pad up to a mesh multiple
+
+    plan_fn = P.make_batched_plan_fn(model, schedule, plan_cfg, mesh=mesh)
     ik_fn = _ik_targets_fn()
     oracle = TrajectoryOracle(substeps=sweep_cfg.substeps)
     evaluator = None
@@ -178,8 +224,11 @@ def run_sweep(
 
     results_q: "queue.Queue" = queue.Queue()
 
+    H = len(guide_ids) if guide_ids else 0
+    bpg = plan_cfg.batch_size // H if H else 0
+
     def _validate_and_record(item):
-        idx, best, goal, cost, dt = item
+        idx, best, goal, cost, dt, best_i, costs_row = item
         obs_cfg = dataset.scene_obstacle_config(int(idx))
         ok, _ = oracle.validate(best, obs_cfg)
         metrics = None
@@ -197,6 +246,13 @@ def run_sweep(
                 "ee_path_length": ev.ee_path_length,
             }
         st_id = int(dataset.scene_type_id[int(idx)])
+        winning_guide = None
+        per_guide_cost = None
+        if H:
+            winning_guide = int(guide_ids[int(best_i) // bpg])
+            mins = costs_row.reshape(H, bpg).min(axis=1)
+            per_guide_cost = {str(g): float(c)
+                              for g, c in zip(guide_ids, mins)}
         state.record(SceneResult(
             scene_index=int(idx),
             scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
@@ -205,6 +261,8 @@ def run_sweep(
             plan_time=float(dt),
             goal=[float(x) for x in goal],
             metrics=metrics,
+            winning_guide=winning_guide,
+            per_guide_min_cost=per_guide_cost,
         ))
 
     def validator():
@@ -251,12 +309,12 @@ def run_sweep(
         best = np.asarray(res.best)       # blocks until the device finishes
         goal_np = np.asarray(res.goal)
         costs = np.asarray(res.swept_costs)
+        best_idx = np.asarray(res.best_index)
         dt = (time.perf_counter() - t0) / max(len(chunk), 1)
         for row, scene_i in enumerate(chunk):
             record_host((scene_i, best[row], goal_np[row],
-                         costs[row].min(), dt))
+                         costs[row].min(), dt, best_idx[row], costs[row]))
 
-    Sb = sweep_cfg.scenes_per_batch
     # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
     # overlap chunk k's device execution and oracle validation
     chunks = [pending[lo:lo + Sb] for lo in range(0, len(pending), Sb)]
@@ -272,4 +330,19 @@ def run_sweep(
     if worker is not None:
         results_q.put(None)
         worker.join()
+
+    if mesh is not None:
+        # device-side reduction of the success statistics (psum over the
+        # scenes axis, parallel/collectives.py) — the multi-chip form of the
+        # reference's host tally (infer_serial.py:167); cross-checked against
+        # the host count.
+        from edmp_tpu.parallel.collectives import make_success_reducer
+
+        succ = np.asarray([bool(r["success"])
+                           for r in state.completed.values()], np.int32)
+        pad = -len(succ) % mesh.size
+        succ = np.concatenate([succ, np.zeros(pad, np.int32)])
+        total = int(make_success_reducer(mesh)(jnp.asarray(succ)))
+        host_total = int(sum(r["success"] for r in state.completed.values()))
+        assert total == host_total, (total, host_total)
     return state

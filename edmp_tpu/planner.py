@@ -194,8 +194,15 @@ def plan_scenes(
 
 
 def make_batched_plan_fn(model, schedule: DiffusionSchedule,
-                         cfg: PlannerConfig, jit: bool = True):
-    """Scene-folded multi-scene plan callable (see plan_scenes)."""
+                         cfg: PlannerConfig, jit: bool = True, mesh=None):
+    """Scene-folded multi-scene plan callable (see plan_scenes).
+
+    With ``mesh``, the leading scene axis of every per-scene input/output is
+    sharded over the mesh's 'scenes' axis and params/guide replicate — the
+    production multi-chip path (scenes must be padded to a multiple of the
+    mesh size by the caller; run_sweep does).  The program is pure data
+    parallel, so XLA partitions it with no cross-chip traffic on the hot loop.
+    """
 
     def apply_fn(params, x, t):
         return model.apply({"params": params}, x, t)
@@ -204,4 +211,56 @@ def make_batched_plan_fn(model, schedule: DiffusionSchedule,
         return plan_scenes(apply_fn, params, schedule, scenes, guide, starts,
                            ik_goals, ik_valid, rng, cfg)
 
+    if mesh is not None:
+        from edmp_tpu.parallel.mesh import replicated, scene_sharding
+
+        rep, sc = replicated(mesh), scene_sharding(mesh)
+        return jax.jit(
+            fn,
+            in_shardings=(rep, sc, rep, sc, sc, sc, rep),
+            out_shardings=sc)
     return jax.jit(fn) if jit else fn
+
+
+def make_large_batch_plan_fn(model, schedule: DiffusionSchedule,
+                             cfg: PlannerConfig, mesh):
+    """Single scene x huge sample batch, sharded over the mesh (the BASELINE
+    '1 scene, 1000+ trajectories' configuration).
+
+    The sample batch (guide ensemble x samples) shards on the mesh axis; the
+    final best-of-batch selection is an explicit cross-shard argmin-reduce
+    (parallel/collectives.py) — the multi-chip form of lib/guide.py:648.
+    ``cfg.batch_size`` must be a multiple of the mesh size.
+    """
+    from edmp_tpu.parallel.collectives import make_global_best
+    from edmp_tpu.parallel.mesh import replicated, scene_sharding
+
+    rep, sh = replicated(mesh), scene_sharding(mesh)
+
+    def apply_fn(params, x, t):
+        return model.apply({"params": params}, x, t)
+
+    def sample_fn(params, scene, guide, start, ik_goals, ik_valid, rng):
+        start = jnp.asarray(start, jnp.float32)
+        goal = select_goal(ik_goals, ik_valid, start, scene,
+                           cfg.volume_trust_region)
+        trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
+                             goal, rng, cfg, cfg.batch_size)
+        costs = swept_cost_per_sample(trajs[:, 1:-1, :], start, goal, scene)
+        return trajs, costs, goal
+
+    # batch axis sharded for per-sample arrays (guide hyperparameters and the
+    # produced trajectories); scene/start/goals replicate
+    sampler = jax.jit(
+        sample_fn,
+        in_shardings=(rep, rep, sh, rep, rep, rep, rep),
+        out_shardings=(sh, sh, rep))
+    best_fn = make_global_best(mesh)
+
+    def fn(params, scene, guide, start, ik_goals, ik_valid, rng):
+        trajs, costs, goal = sampler(params, scene, guide, start, ik_goals,
+                                     ik_valid, rng)
+        best_cost, best_traj = best_fn(costs, trajs)
+        return best_traj, best_cost, goal, costs
+
+    return fn

@@ -147,3 +147,94 @@ def test_sweep_driver_resume(tmp_path, rng):
     st2 = run_sweep(model, params, sch, gp, ds, cfg, scfg, tag="t")
     assert len(st2.completed) == 5
     assert summary["overall"]["n"] == 3  # old snapshot untouched
+
+
+def _tiny_setup(rng, n_guides=2, bpg=2):
+    """Shared tiny model/guide/dataset setup for the driver-level tests."""
+    from edmp_tpu import planner as P
+    from edmp_tpu.config import GuideConfig, pack_ensemble
+    from edmp_tpu.diffusion.schedule import make_schedule
+    from edmp_tpu.models import temporal_unet as tu
+
+    T, N = 6, 12
+    model = tu.TemporalUNet(input_dim=7, time_dim=8, dims=(8, 16))
+    params = tu.init_params(jax.random.key(0), model, traj_len=N)
+    sch = make_schedule(T)
+    seg = (((0, 3), (0.0, 0.0)), ((3, 5), (0.0, 0.0)), ((5, 6), (0.0, 0.0)))
+    gcfgs = [
+        GuideConfig((0.05, 0.05), seg, "iv", False, "constant", 0.2, 8e-4),
+        GuideConfig((0.02, 0.02), seg, "sv", True, "constant", 0.1, 8e-4),
+    ][:n_guides]
+    gp, _ = pack_ensemble(gcfgs, batch_per_guide=bpg, T=T)
+    cfg = P.PlannerConfig(batch_size=n_guides * bpg, traj_len=N)
+    return model, params, sch, gp, cfg
+
+
+def test_sweep_driver_meshed_matches_unsharded(tmp_path, rng):
+    """run_sweep(mesh=...) — the production multi-chip path — must reproduce
+    the single-device sweep verdicts, and per-guide attribution must land in
+    the spool and summary."""
+    from edmp_tpu.data.synthetic import synthetic_packed_dataset
+    from edmp_tpu.parallel.sweep import SweepConfig, run_sweep
+
+    model, params, sch, gp, cfg = _tiny_setup(rng)
+    ds = synthetic_packed_dataset(np.random.default_rng(1), 6)
+    guide_ids = [3, 13]
+
+    def sweep(tag, mesh):
+        # scenes_per_batch = mesh size so both runs chunk (and therefore
+        # draw per-chunk q7 seeds / fold RNG) identically
+        scfg = SweepConfig(scenes_per_batch=8, substeps=2, n_q7_seeds=8,
+                           results_dir=str(tmp_path), oracle_threads=False)
+        return run_sweep(model, params, sch, gp, ds, cfg, scfg, tag=tag,
+                         mesh=mesh, guide_ids=guide_ids)
+
+    st_plain = sweep("plain", None)
+    st_mesh = sweep("mesh", M.make_mesh())
+
+    assert len(st_mesh.completed) == 6
+    for i in st_plain.completed:
+        a, b = st_plain.completed[i], st_mesh.completed[i]
+        assert a["success"] == b["success"]
+        assert a["swept_cost"] == pytest.approx(b["swept_cost"], rel=1e-4,
+                                                abs=1e-6)
+        assert a["winning_guide"] == b["winning_guide"]
+        assert b["winning_guide"] in guide_ids
+        assert set(b["per_guide_min_cost"]) == {"3", "13"}
+        # the winner's own min cost IS the selected cost
+        assert min(b["per_guide_min_cost"].values()) == pytest.approx(
+            b["swept_cost"], rel=1e-4, abs=1e-6)
+    summary = st_mesh.summary()
+    assert "per_guide" in summary
+    assert sum(v["wins"] for v in summary["per_guide"].values()) == 6
+
+
+def test_large_batch_plan_sharded(rng):
+    """The BASELINE '1 scene x 1000+ trajectories' path: batch sharded over
+    the mesh, selection via the explicit cross-shard argmin-reduce."""
+    from edmp_tpu import planner as P
+    from edmp_tpu.costs.obstacles import pack_scene
+    from edmp_tpu.data import synthetic
+
+    model, params, sch, gp, cfg = _tiny_setup(rng, n_guides=2, bpg=8)
+    oc, start, goals, valid = synthetic.random_problem(rng, 4, 8)
+    scene = pack_scene(oc)
+    mesh = M.make_mesh()
+
+    fn = P.make_large_batch_plan_fn(model, sch, cfg, mesh)
+    best, best_cost, goal, costs = fn(
+        params, scene, gp, jnp.asarray(start, jnp.float32),
+        jnp.asarray(goals, jnp.float32), jnp.asarray(valid),
+        jax.random.key(5))
+    costs = np.asarray(costs)
+    assert costs.shape == (16,)
+    assert float(best_cost) == pytest.approx(float(costs.min()), rel=1e-5)
+    # the returned trajectory is the argmin sample
+    i = int(costs.argmin())
+    plain = P.make_plan_fn(model, sch, cfg)(
+        params, scene, gp, jnp.asarray(start, jnp.float32),
+        jnp.asarray(goals, jnp.float32), jnp.asarray(valid),
+        jax.random.key(5))
+    assert int(plain.best_index) == i
+    np.testing.assert_allclose(np.asarray(best), np.asarray(plain.best),
+                               atol=1e-5)
