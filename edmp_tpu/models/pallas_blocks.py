@@ -56,18 +56,27 @@ def _make_kernel(kernel_size: int, num_groups: int, eps: float):
         gidx = jax.lax.broadcasted_iota(jnp.int32, (Cout, num_groups), 1)
         member = (group_id == gidx).astype(jnp.float32)      # (C, g)
 
+        # The membership matmuls are tiny (1,C)x(C,g) contractions; force
+        # full f32 MXU passes (default bf16 precision costs ~1e-2 absolute
+        # error in the stats on real hardware).
+        hi = jax.lax.Precision.HIGHEST
         n = jnp.float32(L * cg)
         ch_sum = jnp.sum(acc, axis=0, keepdims=True)          # (1, C)
-        ch_sumsq = jnp.sum(acc * acc, axis=0, keepdims=True)  # (1, C)
-        g_mean = jnp.dot(ch_sum, member,
+        g_mean = jnp.dot(ch_sum, member, precision=hi,
                          preferred_element_type=jnp.float32) / n     # (1, g)
-        g_var = jnp.dot(ch_sumsq, member,
-                        preferred_element_type=jnp.float32) / n - g_mean ** 2
-        mean_c = jnp.dot(g_mean, member.T,
+        mean_c = jnp.dot(g_mean, member.T, precision=hi,
                          preferred_element_type=jnp.float32)         # (1, C)
-        rstd_c = jnp.dot(jax.lax.rsqrt(g_var + eps), member.T,
+        # two-pass variance: centre first, then sum of squares — immune to
+        # the E[x^2]-E[x]^2 cancellation when |mean| >> std; clamp guards the
+        # residual rounding so rsqrt never sees a negative.
+        centered = acc - mean_c
+        cent_sumsq = jnp.sum(centered * centered, axis=0, keepdims=True)
+        g_var = jnp.dot(cent_sumsq, member, precision=hi,
+                        preferred_element_type=jnp.float32) / n      # (1, g)
+        g_var = jnp.maximum(g_var, 0.0)
+        rstd_c = jnp.dot(jax.lax.rsqrt(g_var + eps), member.T, precision=hi,
                          preferred_element_type=jnp.float32)
-        y = (acc - mean_c) * rstd_c * scale_ref[:] + bias_ref[:]
+        y = centered * rstd_c * scale_ref[:] + bias_ref[:]
 
         o_ref[0] = _mish(y)
 

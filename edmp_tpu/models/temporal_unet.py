@@ -103,6 +103,10 @@ class Conv1dBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.use_pallas:
+            # the fused kernel computes in float32 regardless of self.dtype;
+            # refuse the silent f32 fallback a bf16 caller would get
+            assert self.dtype is None, \
+                "use_pallas computes in float32; dtype must be None"
             from edmp_tpu.models import pallas_blocks as PB
 
             kernel, cbias = _ConvParams(self.features, self.kernel_size,
