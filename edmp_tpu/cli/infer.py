@@ -34,7 +34,9 @@ def main(argv=None):
                     help="override cfg scene types")
     ap.add_argument("--tag", default=None)
     ap.add_argument("--results-dir", default=None)
-    ap.add_argument("--substeps", type=int, default=4)
+    ap.add_argument("--substeps", type=int, default=8,
+                    help="oracle segment densification (calibration: "
+                    "docs/oracle_calibration.md)")
     ap.add_argument("--evaluate", action="store_true",
                     help="run the full MPiNets metric protocol per scene")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")

@@ -43,7 +43,10 @@ from edmp_tpu.validation.oracle import TrajectoryOracle
 @dataclasses.dataclass
 class SweepConfig:
     scenes_per_batch: int = 4
-    substeps: int = 4
+    # 8 is the convergence point of the substeps sweep in
+    # docs/oracle_calibration.md (sparse-corpus flips reach 0 there);
+    # TrajectoryOracle and the CLI share this default.
+    substeps: int = 8
     seed: int = 0
     n_q7_seeds: int = 100
     results_dir: str = "./results"
