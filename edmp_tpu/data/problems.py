@@ -119,15 +119,23 @@ def problem_from_reference(p, scene_type="unknown", problem_type="unknown") -> P
         so3 = _get(pose, "_so3", "so3", default=pose)
         return np.roll(_quat_wxyz(so3), -1)  # wxyz -> xyzw, like :126
 
+    def _obs_center(obs):
+        # real geometrout pickles carry no 'center' attribute — center is a
+        # PROPERTY over _pose._xyz, and shim objects only get raw state
+        c = _get(obs, "center", "_center")
+        if c is None:
+            c = _get(_get(obs, "_pose", "pose"), "_xyz", "xyz")
+        return np.asarray(c, np.float64)
+
     cuboids, cylinders = [], []
     for obs in (p.obstacles or []):
         cls = type(obs).__name__
         if cls == "Cuboid":
-            center = np.asarray(_get(obs, "center", "_center"), np.float64)
+            center = _obs_center(obs)
             dims = np.asarray(_get(obs, "dims", "_dims"), np.float64)
             cuboids.append(np.concatenate([center, _obs_quat_xyzw(obs), dims]))
         elif cls == "Cylinder":
-            center = np.asarray(_get(obs, "center", "_center"), np.float64)
+            center = _obs_center(obs)
             radius = float(np.asarray(_get(obs, "radius", "_radius")))
             height = float(np.asarray(_get(obs, "height", "_height")))
             cylinders.append(np.concatenate(
