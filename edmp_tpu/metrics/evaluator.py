@@ -55,12 +55,18 @@ def orientation_error_deg(Ra: np.ndarray, Rb: np.ndarray) -> float:
 
 
 # non-adjacent link-box pairs for the self-collision screen.  Excluded:
-# adjacent links, the hand/finger cluster, and pairs whose conservative
-# boxes overlap structurally across the reachable space ((4,6): forearm box
-# vs wrist, (4,7): forearm box vs hand — measured over 200 random configs).
-_STRUCTURAL = {(4, 6), (4, 7), (4, 8)}
+# adjacent links, the hand/finger cluster, pairs whose conservative boxes
+# overlap STRUCTURALLY across the reachable space ((4,6) forearm-vs-wrist
+# 96%, (4,7) forearm-vs-hand 69% of 300 random configs), and one
+# conservative-box ARTIFACT pair ((4,8) forearm-vs-finger, 2.7% — the boxed
+# finger y-dim x4 quirk grazes the forearm box in poses the meshes clear).
+# tests/test_self_collision.py pins these frequencies so box-dim changes
+# cannot silently shift the screen.
+_STRUCTURAL = {(4, 6), (4, 7)}
+_BOX_ARTIFACT = {(4, 8)}
 _SELF_PAIRS = [(i, j) for i in range(9) for j in range(i + 2, 9)
-               if not (i >= 6 and j >= 6) and (i, j) not in _STRUCTURAL]
+               if not (i >= 6 and j >= 6)
+               and (i, j) not in _STRUCTURAL | _BOX_ARTIFACT]
 
 
 def self_collision_free(trajectory: np.ndarray) -> bool:
