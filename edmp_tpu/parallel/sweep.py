@@ -92,6 +92,9 @@ class SweepState:
                         continue  # torn tail write from a crash
         self._f = open(self.path, "a")
         self._lock = threading.Lock()
+        # per-scene phase timings of THIS run (not spooled; resumed scenes
+        # have no fresh timing) — surfaced via summary()["timing"]
+        self.timings: List[dict] = []
 
     def record(self, result: SceneResult) -> None:
         with self._lock:
@@ -146,6 +149,14 @@ class SweepState:
                     str(g): float(np.mean(cs))
                     for g, cs in sorted(costs_by_guide.items())
                 }
+        if self.timings:
+            out["timing"] = {
+                "scenes_timed": len(self.timings),
+                "mean_plan_s": float(np.mean(
+                    [t["plan"] for t in self.timings])),
+                "mean_oracle_s": float(np.mean(
+                    [t["oracle"] for t in self.timings])),
+            }
         # aggregate the full-evaluation protocol when present
         with_metrics = [r["metrics"] for r in self.completed.values()
                         if r.get("metrics")]
@@ -233,7 +244,9 @@ def run_sweep(
     def _validate_and_record(item):
         idx, best, goal, cost, dt, best_i, costs_row = item
         obs_cfg = dataset.scene_obstacle_config(int(idx))
+        t_oracle = time.perf_counter()
         ok, _ = oracle.validate(best, obs_cfg)
+        oracle_dt = time.perf_counter() - t_oracle
         metrics = None
         if evaluator is not None:
             ev = evaluator.evaluate_trajectory(
@@ -267,6 +280,7 @@ def run_sweep(
             winning_guide=winning_guide,
             per_guide_min_cost=per_guide_cost,
         ))
+        state.timings.append({"plan": float(dt), "oracle": oracle_dt})
 
     def validator():
         while True:
