@@ -299,7 +299,7 @@ def _oneshot(flags, timeout_s):
     return None
 
 
-def measure(attempts, reps, timeout_s=540):
+def measure(attempts, reps, timeout_s=900):
     """Try each flag-list attempt in a watchdog subprocess; first success
     wins.  Returns the run_tpu details dict or None."""
     for flags in attempts:
@@ -416,8 +416,8 @@ def main():
                 f.append("--no-guidance")
             return f
 
-        head = measure([flags(args.scenes), flags(args.scenes + 2),
-                        flags(args.scenes + 3)], args.reps)
+        head = measure([flags(args.scenes), flags(args.scenes + 6),
+                        flags(args.scenes + 10)], args.reps)
         if head is None:
             print(json.dumps({"metric": "scenes_per_sec_cfg1", "value": None,
                               "unit": "scenes/s", "vs_baseline": None,

@@ -96,6 +96,19 @@ def main(argv=None):
         wanted = args.scene_types or cfg.scene_types
         problems = [p for st in wanted for p in by_type.get(st, [])]
         dataset = PD.from_problems(problems)
+    # scene-subset rules from the cfg (num_scenes_per_type / random_scenes;
+    # -1 keeps everything)
+    if cfg.num_scenes_per_type is not None and cfg.num_scenes_per_type >= 0:
+        sel = cfg.select_scene_indices(
+            dataset.scene_type_id, np.random.default_rng(args.seed))
+        dataset = dataset.select(sel)
+        results_root = args.results_dir or cfg.save_dir
+        if cfg.save_scene_indices:
+            os.makedirs(results_root, exist_ok=True)
+            with open(os.path.join(results_root, "scene_indices.json"),
+                      "w") as f:
+                json.dump([int(i) for i in sel], f)
+
     # per-host contiguous scene shard (multi-host data parallelism over the
     # dataset sweep; single-process runs keep the full range)
     import jax as _jax

@@ -201,6 +201,11 @@ class BenchmarkConfig:
     num_channels: int
     save_dir: str = "./results/"
     gui: bool = False  # accepted for config compat; no GUI on TPU hosts
+    # scene-subset controls (benchmark/cfgs/cfg1.yaml dataset block):
+    # random_scenes samples num_scenes_per_type at random instead of the
+    # first N; save_scene_indices records the evaluated indices on disk
+    random_scenes: bool = False
+    save_scene_indices: bool = True
 
     @classmethod
     def from_yaml(cls, path: str) -> "BenchmarkConfig":
@@ -221,7 +226,28 @@ class BenchmarkConfig:
             num_channels=int(m["num_channels"]),
             save_dir=raw.get("general", {}).get("save_dir", "./results/"),
             gui=bool(raw.get("general", {}).get("gui", False)),
+            random_scenes=bool(d.get("random_scenes", False)),
+            save_scene_indices=bool(d.get("save_scene_indices", True)),
         )
+
+    def select_scene_indices(self, scene_type_ids, rng=None):
+        """Apply the num_scenes_per_type / random_scenes subset rules.
+
+        scene_type_ids : (S,) int array.  Returns sorted selected indices.
+        """
+        import numpy as np
+
+        ids = np.asarray(scene_type_ids)
+        if self.num_scenes_per_type is None or self.num_scenes_per_type < 0:
+            return np.arange(len(ids))
+        out = []
+        for t in np.unique(ids):
+            idx = np.nonzero(ids == t)[0]
+            k = min(self.num_scenes_per_type, len(idx))
+            if self.random_scenes:
+                idx = (rng or np.random.default_rng()).permutation(idx)
+            out.append(idx[:k])
+        return np.sort(np.concatenate(out)) if out else np.arange(0)
 
     @property
     def total_batch_size(self) -> int:

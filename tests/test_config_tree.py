@@ -62,3 +62,23 @@ def test_benchmark_cfgs_load(name, ids):
     guides = load_guide_set(os.path.join(REPO, cfg.guide_path.lstrip("./")),
                             cfg.guide_ids)
     assert len(guides) == len(ids)
+
+
+def test_scene_subset_rules():
+    import numpy as np
+
+    cfg = BenchmarkConfig.from_yaml(
+        os.path.join(REPO, "benchmark", "cfgs", "cfg1.yaml"))
+    ids = np.array([0, 0, 0, 1, 1, 2, 3, 3, 3, 3])
+    # -1 (the shipped default) keeps everything
+    np.testing.assert_array_equal(cfg.select_scene_indices(ids),
+                                  np.arange(10))
+    cfg2 = BenchmarkConfig(**{**cfg.__dict__, "num_scenes_per_type": 2})
+    sel = cfg2.select_scene_indices(ids)
+    assert list(ids[sel]).count(0) == 2 and list(ids[sel]).count(2) == 1
+    assert list(sel) == sorted(sel)
+    cfg3 = BenchmarkConfig(**{**cfg.__dict__, "num_scenes_per_type": 2,
+                              "random_scenes": True})
+    r = np.random.default_rng(0)
+    sel3 = cfg3.select_scene_indices(ids, r)
+    assert len(sel3) == len(sel)

@@ -88,9 +88,16 @@ class Sphere:  # appears in mpinets' Obstacles union; loader must skip it
         self._radius = 0.1
 
 
-_register("geometrout.transform", [SO3, SE3])
-_register("geometrout.primitive", [Cuboid, Cylinder, Sphere])
-_register("mpinets.types", [PlanningProblem])
+def _register_all():
+    """(Re-)point the fake module tree at THIS file's classes — other test
+    modules (tests/test_data.py) install their own fakes under the same
+    module names, so registration must happen per-fixture, not per-import."""
+    _register("geometrout.transform", [SO3, SE3])
+    _register("geometrout.primitive", [Cuboid, Cylinder, Sphere])
+    _register("mpinets.types", [PlanningProblem])
+
+
+_register_all()
 
 
 def _rand_quat_wxyz(r):
@@ -112,6 +119,7 @@ def _make_problem(r, n_cuboids, n_cylinders):
 
 @pytest.fixture
 def pickle_path(tmp_path, rng):
+    _register_all()
     # per-scene-type problem counts; merged_cubby deliberately != cubby
     counts = {"tabletop": (2, 1, 1), "cubby": (1, 1, 0),
               "merged_cubby": (3, 2, 2), "dresser": (1, 0, 1)}
