@@ -256,6 +256,9 @@ def run_sweep(
                 "position_error": ev.position_error,
                 "orientation_error": ev.orientation_error,
                 "protocol_success": ev.success,
+                "env_collision": ev.env_collision,
+                "self_collision": ev.self_collision,
+                "joint_limit_violation": ev.joint_limit_violation,
                 "joint_smoothness": ev.joint_smoothness,
                 "ee_smoothness": ev.ee_smoothness,
                 "joint_path_length": ev.joint_path_length,
@@ -315,6 +318,29 @@ def run_sweep(
                             sweep_cfg.n_q7_seeds - sweep_cfg.n_q7_seeds // 2),
             ]) for _ in idx])
         goals, valid = ik_fn(targets, jnp.asarray(seeds, jnp.float32))
+        # analytic-IK dropout fallback: targets whose q7 sweep yields no
+        # branch passing the FK-residual gate (possible for hard
+        # orientations; the reference's 'solvable problems' sets rule this
+        # out by construction) get a damped-least-squares solution instead
+        # of a garbage masked-argmin goal.
+        no_ik = ~np.asarray(jnp.any(valid, axis=1))
+        if no_ik.any():
+            from edmp_tpu.robot.ik import numerical_ik
+
+            nik = jax.jit(numerical_ik)
+            lo = np.asarray(C.FRANKA_LOWER)
+            hi = np.asarray(C.FRANKA_UPPER)
+            for row in np.nonzero(no_ik)[0]:
+                best_q, best_err = None, np.inf
+                for k in range(6):
+                    q0 = (0.5 * (lo + hi) if k == 0 else
+                          lo + rng.uniform(0.2, 0.8, 7) * (hi - lo))
+                    q, err = nik(targets[row], jnp.asarray(q0, jnp.float32))
+                    if float(err) < best_err:
+                        best_q, best_err = q, float(err)
+                if best_err < 5e-3:
+                    goals = goals.at[row, 0].set(best_q)
+                    valid = valid.at[row, 0].set(True)
         sub = jax.random.fold_in(jax.random.key(sweep_cfg.seed),
                                  int(chunk[0]))
         res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
