@@ -27,6 +27,21 @@ from edmp_tpu import constants as C
 SCENE_TYPES = ("tabletop", "cubby", "merged_cubby", "dresser")
 PROBLEM_TYPES = ("task_oriented", "neutral_start", "neutral_goal")
 
+# Typed primitive-volume rows for the target-region protocol check
+# (mpinets/types.py:41-45: target_volume is a Cuboid|Cylinder, the negative
+# volumes any primitive).  Row layout (11,):
+#   [type, center(3), quat_xyzw(4), p0, p1, p2]
+# type 0 = absent, 1 = cuboid (p = dims), 2 = cylinder (p0 = radius,
+# p1 = height), 3 = sphere (p0 = radius).
+VOLUME_NONE, VOLUME_CUBOID, VOLUME_CYLINDER, VOLUME_SPHERE = 0, 1, 2, 3
+MAX_NEGATIVE_VOLUMES = 8
+
+
+def _empty_volume() -> np.ndarray:
+    row = np.zeros(11)
+    row[7] = 1.0  # identity quat
+    return row
+
 
 @dataclasses.dataclass
 class Problem:
@@ -39,6 +54,12 @@ class Problem:
     cylinder_config: np.ndarray   # (ncy, 9): center, quat_xyzw, radius, height
     scene_type: str = "unknown"
     problem_type: str = "unknown"
+    # target-region protocol data (mpinets/metrics.py:388-407): typed volume
+    # rows; all-zero type means absent (pre-region datasets / synthetic)
+    target_volume: np.ndarray = dataclasses.field(
+        default_factory=_empty_volume)              # (11,)
+    negative_volumes: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 11)))  # (m, 11)
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +126,48 @@ def _se3_to_matrix(se3) -> np.ndarray:
     return T
 
 
+def _pack_volume(obj) -> np.ndarray:
+    """geometrout Cuboid/Cylinder/Sphere -> typed (11,) row; None -> absent."""
+    row = _empty_volume()
+    if obj is None:
+        return row
+    cls = type(obj).__name__
+
+    def _center():
+        c = _get(obj, "center", "_center")
+        if c is None:
+            c = _get(_get(obj, "_pose", "pose"), "_xyz", "xyz")
+        return np.asarray(c, np.float64)
+
+    def _quat():
+        pose = _get(obj, "_pose", "pose")
+        if pose is None:
+            return np.array([0.0, 0.0, 0.0, 1.0])
+        so3 = _get(pose, "_so3", "so3", default=pose)
+        try:
+            return np.roll(_quat_wxyz(so3), -1)
+        except ValueError:
+            return np.array([0.0, 0.0, 0.0, 1.0])
+
+    if cls == "Cuboid":
+        row[0] = VOLUME_CUBOID
+        row[1:4] = _center()
+        row[4:8] = _quat()
+        row[8:11] = np.asarray(_get(obj, "dims", "_dims"), np.float64)
+    elif cls == "Cylinder":
+        row[0] = VOLUME_CYLINDER
+        row[1:4] = _center()
+        row[4:8] = _quat()
+        row[8] = float(np.asarray(_get(obj, "radius", "_radius")))
+        row[9] = float(np.asarray(_get(obj, "height", "_height")))
+    elif cls == "Sphere":
+        row[0] = VOLUME_SPHERE
+        row[1:4] = _center()
+        row[4:8] = np.array([0.0, 0.0, 0.0, 1.0])
+        row[8] = float(np.asarray(_get(obj, "radius", "_radius")))
+    return row
+
+
 def problem_from_reference(p, scene_type="unknown", problem_type="unknown") -> Problem:
     """Convert an unpickled reference PlanningProblem to packed arrays.
 
@@ -154,6 +217,8 @@ def problem_from_reference(p, scene_type="unknown", problem_type="unknown") -> P
         rows.append(boxed)
     obstacle_config = np.concatenate(rows, axis=0) if rows else np.zeros((0, 10))
 
+    negatives = [_pack_volume(v)
+                 for v in (_get(p, "target_negative_volumes") or [])]
     return Problem(
         target_pose=_se3_to_matrix(p.target),
         q0=np.asarray(p.q0, np.float64).reshape(7),
@@ -162,6 +227,8 @@ def problem_from_reference(p, scene_type="unknown", problem_type="unknown") -> P
         cylinder_config=cylinder_config,
         scene_type=scene_type,
         problem_type=problem_type,
+        target_volume=_pack_volume(_get(p, "target_volume")),
+        negative_volumes=np.asarray(negatives, np.float64).reshape(-1, 11),
     )
 
 
@@ -194,16 +261,30 @@ class PackedDataset:
     n_obstacles : (S,)
     q0 : (S, 7); target : (S, 4, 4)
     scene_type_id / problem_type_id : (S,) int indices into SCENE_TYPES etc.
+    target_volume : (S, 11) typed region rows (type 0 = absent)
+    negative_volumes : (S, MAX_NEGATIVE_VOLUMES, 11); n_negative : (S,)
     """
 
     def __init__(self, obstacles, n_obstacles, q0, target,
-                 scene_type_id, problem_type_id):
+                 scene_type_id, problem_type_id,
+                 target_volume=None, negative_volumes=None, n_negative=None):
         self.obstacles = np.asarray(obstacles, np.float32)
         self.n_obstacles = np.asarray(n_obstacles, np.int32)
         self.q0 = np.asarray(q0, np.float32)
         self.target = np.asarray(target, np.float32)
         self.scene_type_id = np.asarray(scene_type_id, np.int32)
         self.problem_type_id = np.asarray(problem_type_id, np.int32)
+        S = self.q0.shape[0]
+        if target_volume is None:
+            target_volume = np.tile(_empty_volume(), (S, 1))
+        if negative_volumes is None:
+            negative_volumes = np.tile(_empty_volume(),
+                                       (S, MAX_NEGATIVE_VOLUMES, 1))
+        if n_negative is None:
+            n_negative = np.zeros(S, np.int32)
+        self.target_volume = np.asarray(target_volume, np.float32)
+        self.negative_volumes = np.asarray(negative_volumes, np.float32)
+        self.n_negative = np.asarray(n_negative, np.int32)
 
     def __len__(self):
         return self.q0.shape[0]
@@ -220,6 +301,9 @@ class PackedDataset:
         target = np.zeros((S, 4, 4))
         st = np.zeros(S, np.int32)
         pt = np.zeros(S, np.int32)
+        tvol = np.tile(_empty_volume(), (S, 1))
+        nvol = np.tile(_empty_volume(), (S, MAX_NEGATIVE_VOLUMES, 1))
+        n_neg = np.zeros(S, np.int32)
         for i, p in enumerate(problems):
             n = p.obstacle_config.shape[0]
             if n > max_obstacles:
@@ -230,7 +314,14 @@ class PackedDataset:
             target[i] = p.target_pose
             st[i] = SCENE_TYPES.index(p.scene_type) if p.scene_type in SCENE_TYPES else -1
             pt[i] = PROBLEM_TYPES.index(p.problem_type) if p.problem_type in PROBLEM_TYPES else -1
-        return cls(obstacles, n_obs, q0, target, st, pt)
+            tvol[i] = p.target_volume
+            m = p.negative_volumes.shape[0]
+            if m > MAX_NEGATIVE_VOLUMES:
+                raise ValueError(
+                    f"problem {i}: {m} negative volumes > {MAX_NEGATIVE_VOLUMES}")
+            nvol[i, :m] = p.negative_volumes
+            n_neg[i] = m
+        return cls(obstacles, n_obs, q0, target, st, pt, tvol, nvol, n_neg)
 
     def scene_obstacle_config(self, i: int) -> np.ndarray:
         return self.obstacles[i, : self.n_obstacles[i]].astype(np.float64)
@@ -239,19 +330,27 @@ class PackedDataset:
         np.savez_compressed(
             path, obstacles=self.obstacles, n_obstacles=self.n_obstacles,
             q0=self.q0, target=self.target, scene_type_id=self.scene_type_id,
-            problem_type_id=self.problem_type_id)
+            problem_type_id=self.problem_type_id,
+            target_volume=self.target_volume,
+            negative_volumes=self.negative_volumes, n_negative=self.n_negative)
 
     @classmethod
     def load(cls, path: str) -> "PackedDataset":
         with np.load(path) as z:
+            # region arrays absent in pre-round-3 npz files -> defaults
+            extra = {k: z[k] for k in
+                     ("target_volume", "negative_volumes", "n_negative")
+                     if k in z.files}
             return cls(z["obstacles"], z["n_obstacles"], z["q0"], z["target"],
-                       z["scene_type_id"], z["problem_type_id"])
+                       z["scene_type_id"], z["problem_type_id"], **extra)
 
     def select(self, idx) -> "PackedDataset":
         idx = np.asarray(idx)
         return PackedDataset(self.obstacles[idx], self.n_obstacles[idx],
                              self.q0[idx], self.target[idx],
-                             self.scene_type_id[idx], self.problem_type_id[idx])
+                             self.scene_type_id[idx], self.problem_type_id[idx],
+                             self.target_volume[idx],
+                             self.negative_volumes[idx], self.n_negative[idx])
 
     def by_scene_type(self, scene_type: str) -> "PackedDataset":
         return self.select(

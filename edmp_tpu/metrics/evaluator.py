@@ -10,9 +10,11 @@ PyBullet simulators:
   buckets  := % within 1 cm / 5 cm position error, 15 / 30 deg orientation
   plus SPARC smoothness (joint + EE) and joint/EE path lengths.
 
-The reference's "target region" check requires the problem's target_volume
-(a named SE3 region); when absent we fall back to the position/orientation
-thresholds alone — flagged in the result so aggregates stay honest.
+The target-region term (mpinets/metrics.py:388-407, AND-ed into success at
+:533-542) is implemented in :mod:`edmp_tpu.metrics.region` over the typed
+volume rows carried by PackedDataset; problems without a target_volume
+(synthetic/pre-region data) pass the check trivially and are flagged via
+``region_checked`` so aggregates stay honest.
 """
 
 from __future__ import annotations
@@ -40,11 +42,16 @@ class TrajectoryEvaluation:
     joint_path_length: float
     ee_path_length: float
     planning_time: float = 0.0
+    # target-region term (mpinets/metrics.py:533-542); region_checked=False
+    # means the problem carried no target_volume and the term is vacuous
+    correct_final_region: bool = True
+    region_checked: bool = False
 
     @property
     def success(self) -> bool:
         return (self.position_error < 0.01
                 and self.orientation_error < 15.0
+                and self.correct_final_region
                 and self.physical_success)
 
 
@@ -100,10 +107,19 @@ class Evaluator:
     def evaluate_trajectory(self, trajectory: np.ndarray,
                             target_pose: np.ndarray,
                             obstacle_config: np.ndarray,
-                            planning_time: float = 0.0) -> TrajectoryEvaluation:
-        """trajectory (N, 7), target_pose (4, 4) 'right_gripper' frame."""
+                            planning_time: float = 0.0,
+                            target_volume: np.ndarray | None = None,
+                            negative_volumes: np.ndarray | None = None,
+                            ) -> TrajectoryEvaluation:
+        """trajectory (N, 7), target_pose (4, 4) 'right_gripper' frame.
+
+        ``target_volume`` (11,) / ``negative_volumes`` (m, 11) are the typed
+        region rows from PackedDataset; when given, the reference's
+        check_final_region term participates in success.
+        """
         import jax.numpy as jnp
 
+        from edmp_tpu.metrics.region import check_final_region, has_region
         from edmp_tpu.robot.kinematics import ee_transform
 
         traj = np.asarray(trajectory, np.float64)
@@ -111,6 +127,15 @@ class Evaluator:
             ee_transform(jnp.asarray(traj[-1], jnp.float32)), np.float64)
         pos_err = float(np.linalg.norm(T_final[:3, 3] - target_pose[:3, 3]))
         ori_err = orientation_error_deg(T_final[:3, :3], target_pose[:3, :3])
+
+        region_checked = target_volume is not None and has_region(target_volume)
+        region_ok = True
+        if region_checked:
+            negs = (negative_volumes if negative_volumes is not None
+                    else np.zeros((0, 11)))
+            region_ok = check_final_region(
+                T_final[:3, 3], target_volume, negs,
+                np.asarray(target_pose, np.float64)[:3, 3])
 
         ok, _ = self.oracle.validate(traj, obstacle_config)
         env_collision = not ok
@@ -134,6 +159,8 @@ class Evaluator:
             joint_path_length=jl,
             ee_path_length=el,
             planning_time=planning_time,
+            correct_final_region=region_ok,
+            region_checked=region_checked,
         )
         self.results.append(ev)
         return ev
@@ -160,6 +187,8 @@ class Evaluator:
             "env_collision_rate": pct([r.env_collision for r in rs]),
             "self_collision_rate": pct([r.self_collision for r in rs]),
             "joint_violation_rate": pct([r.joint_limit_violation for r in rs]),
+            "correct_region_rate": pct([r.correct_final_region for r in rs]),
+            "region_checked_rate": pct([r.region_checked for r in rs]),
         }
         if succ:
             out.update({

@@ -174,6 +174,12 @@ class SweepState:
                     m["orientation_error"] < 15 for m in with_metrics) / n,
                 "within_30deg": 100.0 * sum(
                     m["orientation_error"] < 30 for m in with_metrics) / n,
+                "correct_region": 100.0 * sum(
+                    m.get("correct_final_region", True)
+                    for m in with_metrics) / n,
+                "region_checked": 100.0 * sum(
+                    m.get("region_checked", False)
+                    for m in with_metrics) / n,
                 "mean_ee_path_length": float(np.mean(
                     [m["ee_path_length"] for m in with_metrics])),
                 "mean_joint_smoothness": float(np.mean(
@@ -249,13 +255,20 @@ def run_sweep(
         oracle_dt = time.perf_counter() - t_oracle
         metrics = None
         if evaluator is not None:
+            i = int(idx)
             ev = evaluator.evaluate_trajectory(
-                best, np.asarray(dataset.target[int(idx)], np.float64),
-                obs_cfg, planning_time=float(dt))
+                best, np.asarray(dataset.target[i], np.float64),
+                obs_cfg, planning_time=float(dt),
+                target_volume=np.asarray(dataset.target_volume[i], np.float64),
+                negative_volumes=np.asarray(
+                    dataset.negative_volumes[i, :dataset.n_negative[i]],
+                    np.float64))
             metrics = {
                 "position_error": ev.position_error,
                 "orientation_error": ev.orientation_error,
                 "protocol_success": ev.success,
+                "correct_final_region": ev.correct_final_region,
+                "region_checked": ev.region_checked,
                 "env_collision": ev.env_collision,
                 "self_collision": ev.self_collision,
                 "joint_limit_violation": ev.joint_limit_violation,
