@@ -28,7 +28,9 @@ def main(argv=None):
     ap.add_argument("--dataset-npz", default=None)
     ap.add_argument("--synthetic", type=int, default=None,
                     help="run N synthetic scenes instead of a dataset")
-    ap.add_argument("--scenes-per-batch", type=int, default=2)
+    ap.add_argument("--scenes-per-batch", type=int, default=8,
+                    help="scene fold size S (8+ = measured-optimal on v5e, "
+                    "bench_details.json S-scaling)")
     ap.add_argument("--max-scenes", type=int, default=None)
     ap.add_argument("--scene-types", nargs="*", default=None,
                     help="override cfg scene types")

@@ -49,6 +49,33 @@ def make_success_reducer(mesh: Mesh, axis_name: str = SCENE_AXIS):
     return reduce
 
 
+def make_per_guide_tally(mesh: Mesh, n_guides: int,
+                         axis_name: str = SCENE_AXIS):
+    """Device-side per-guide ensemble statistics (SURVEY §2.3 item 3b).
+
+    (win_idx (n,) int32 guide index per scene — -1 for scenes without
+    attribution —, success (n,) int32) sharded on the scenes axis ->
+    (wins (H,), successes_when_winning (H,), total_successes ()) psum-reduced
+    across the mesh; identical on every shard.  This is the multi-chip form
+    of the reference's host tally (infer_serial.py:167) extended with the
+    per-guide breakdown; sweep.summary() sources its per-guide table from
+    this reduction when a mesh is present.
+    """
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+             out_specs=(P(), P(), P()))
+    def tally(win_idx, success):
+        onehot = (win_idx[:, None] ==
+                  jnp.arange(n_guides)[None, :]).astype(jnp.int32)
+        wins = jax.lax.psum(jnp.sum(onehot, axis=0), axis_name)
+        succ = jax.lax.psum(jnp.sum(onehot * success[:, None], axis=0),
+                            axis_name)
+        total = jax.lax.psum(jnp.sum(success), axis_name)
+        return wins, succ, total
+
+    return tally
+
+
 def make_global_best(mesh: Mesh, axis_name: str = SCENE_AXIS):
     """Sharded (costs (B,), trajs (B, N, C)) -> global (cost, traj).
 

@@ -42,7 +42,12 @@ from edmp_tpu.validation.oracle import TrajectoryOracle
 
 @dataclasses.dataclass
 class SweepConfig:
-    scenes_per_batch: int = 4
+    # 8+ is the measured-optimal fold on v5e: scenes/s rises monotonically
+    # S=7 -> 17 (21.1 -> 21.9, bench_details.json; docs/roofline.md
+    # implication 1 — larger folds fill the small-L MXU tiles), so the
+    # production default sits at the start of the flat top, not the worst
+    # measured point.
+    scenes_per_batch: int = 8
     # 8 is the convergence point of the substeps sweep in
     # docs/oracle_calibration.md (sparse-corpus flips reach 0 there);
     # TrajectoryOracle and the CLI share this default.
@@ -95,6 +100,11 @@ class SweepState:
         # per-scene phase timings of THIS run (not spooled; resumed scenes
         # have no fresh timing) — surfaced via summary()["timing"]
         self.timings: List[dict] = []
+        # device-reduced per-guide statistics (collectives.make_per_guide_tally)
+        # set by run_sweep on meshed runs; summary() sources its per-guide
+        # wins/successes from this when present instead of re-deriving host-side
+        self.device_per_guide: Optional[Dict[int, dict]] = None
+        self.device_success_total: Optional[int] = None
 
     def record(self, result: SceneResult) -> None:
         with self._lock:
@@ -123,32 +133,48 @@ class SweepState:
                           "success_rate":
                           100.0 * total_s / total_n if total_n else 0.0}
         # per-guide ensemble attribution (win = produced the selected
-        # trajectory; min-cost stats over each guide's own best sample)
-        wins: Dict[int, int] = {}
-        win_success: Dict[int, int] = {}
+        # trajectory; min-cost stats over each guide's own best sample).
+        # On meshed runs the wins/successes come from the device psum tally
+        # (collectives.make_per_guide_tally); the host derivation covers
+        # single-device runs and resumed spools.
         costs_by_guide: Dict[int, List[float]] = {}
         for rec in self.completed.values():
-            g = rec.get("winning_guide")
-            if g is None:
-                continue
-            wins[g] = wins.get(g, 0) + 1
-            win_success[g] = win_success.get(g, 0) + int(rec["success"])
             for gi, c in (rec.get("per_guide_min_cost") or {}).items():
                 costs_by_guide.setdefault(int(gi), []).append(c)
-        if wins:
-            n_attr = sum(wins.values())
+        if self.device_per_guide is not None:
+            n_attr = sum(d["wins"] for d in self.device_per_guide.values())
             out["per_guide"] = {
                 str(g): {
-                    "wins": wins[g],
-                    "win_rate": 100.0 * wins[g] / n_attr,
-                    "successes_when_winning": win_success[g],
-                } for g in sorted(wins)
+                    "wins": d["wins"],
+                    "win_rate": 100.0 * d["wins"] / n_attr if n_attr else 0.0,
+                    "successes_when_winning": d["successes_when_winning"],
+                } for g, d in sorted(self.device_per_guide.items())
+                if d["wins"]
             }
-            if costs_by_guide:
-                out["per_guide_min_cost_mean"] = {
-                    str(g): float(np.mean(cs))
-                    for g, cs in sorted(costs_by_guide.items())
+            out["per_guide_source"] = "device_psum"
+        else:
+            wins: Dict[int, int] = {}
+            win_success: Dict[int, int] = {}
+            for rec in self.completed.values():
+                g = rec.get("winning_guide")
+                if g is None:
+                    continue
+                wins[g] = wins.get(g, 0) + 1
+                win_success[g] = win_success.get(g, 0) + int(rec["success"])
+            if wins:
+                n_attr = sum(wins.values())
+                out["per_guide"] = {
+                    str(g): {
+                        "wins": wins[g],
+                        "win_rate": 100.0 * wins[g] / n_attr,
+                        "successes_when_winning": win_success[g],
+                    } for g in sorted(wins)
                 }
+        if costs_by_guide and "per_guide" in out:
+            out["per_guide_min_cost_mean"] = {
+                str(g): float(np.mean(cs))
+                for g, cs in sorted(costs_by_guide.items())
+            }
         if self.timings:
             out["timing"] = {
                 "scenes_timed": len(self.timings),
@@ -242,13 +268,21 @@ def run_sweep(
 
         evaluator = Evaluator(substeps=sweep_cfg.substeps)
 
-    results_q: "queue.Queue" = queue.Queue()
+    # bounded: at 20+ scenes/s with --evaluate the oracle thread can lag the
+    # dispatcher arbitrarily; backpressure (put blocks) caps the host-memory
+    # footprint at a few batches of trajectories instead of the whole sweep
+    results_q: "queue.Queue" = queue.Queue(maxsize=4 * max(Sb, 1))
+    validator_errors: List[BaseException] = []
 
     H = len(guide_ids) if guide_ids else 0
     bpg = plan_cfg.batch_size // H if H else 0
+    # per-guide min swept cost, computed on DEVICE from the (sharded) cost
+    # matrix — host code only formats the result
+    pg_min_fn = jax.jit(
+        lambda c: c.reshape(c.shape[0], H, bpg).min(axis=2)) if H else None
 
     def _validate_and_record(item):
-        idx, best, goal, cost, dt, best_i, costs_row = item
+        idx, best, goal, cost, dt, best_i, pg_min_row = item
         obs_cfg = dataset.scene_obstacle_config(int(idx))
         t_oracle = time.perf_counter()
         ok, _ = oracle.validate(best, obs_cfg)
@@ -282,9 +316,8 @@ def run_sweep(
         per_guide_cost = None
         if H:
             winning_guide = int(guide_ids[int(best_i) // bpg])
-            mins = costs_row.reshape(H, bpg).min(axis=1)
             per_guide_cost = {str(g): float(c)
-                              for g, c in zip(guide_ids, mins)}
+                              for g, c in zip(guide_ids, pg_min_row)}
         state.record(SceneResult(
             scene_index=int(idx),
             scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
@@ -303,7 +336,10 @@ def run_sweep(
             item = results_q.get()
             if item is None:
                 return
-            _validate_and_record(item)
+            try:
+                _validate_and_record(item)
+            except BaseException as e:  # keep draining; re-raised at join
+                validator_errors.append(e)
 
     worker = None
     if sweep_cfg.oracle_threads:
@@ -364,12 +400,15 @@ def run_sweep(
         chunk, res, t0 = inflight
         best = np.asarray(res.best)       # blocks until the device finishes
         goal_np = np.asarray(res.goal)
-        costs = np.asarray(res.swept_costs)
         best_idx = np.asarray(res.best_index)
+        if H:
+            pg_min = np.asarray(pg_min_fn(res.swept_costs))  # (S, H) device min
+        else:
+            pg_min = np.asarray(res.swept_costs).min(axis=1, keepdims=True)
         dt = (time.perf_counter() - t0) / max(len(chunk), 1)
         for row, scene_i in enumerate(chunk):
             record_host((scene_i, best[row], goal_np[row],
-                         costs[row].min(), dt, best_idx[row], costs[row]))
+                         pg_min[row].min(), dt, best_idx[row], pg_min[row]))
 
     # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
     # overlap chunk k's device execution and oracle validation
@@ -386,19 +425,32 @@ def run_sweep(
     if worker is not None:
         results_q.put(None)
         worker.join()
+    if validator_errors:
+        raise RuntimeError(
+            f"{len(validator_errors)} scene(s) failed validation; first "
+            f"error follows") from validator_errors[0]
 
-    if mesh is not None:
-        # device-side reduction of the success statistics (psum over the
-        # scenes axis, parallel/collectives.py) — the multi-chip form of the
-        # reference's host tally (infer_serial.py:167); cross-checked against
-        # the host count.
-        from edmp_tpu.parallel.collectives import make_success_reducer
+    if mesh is not None and H:
+        # per-guide win/success statistics reduced ON DEVICE (psum over the
+        # scenes axis, collectives.make_per_guide_tally) — summary() sources
+        # its per-guide table from this instead of re-deriving host-side
+        from edmp_tpu.parallel.collectives import make_per_guide_tally
 
-        succ = np.asarray([bool(r["success"])
-                           for r in state.completed.values()], np.int32)
-        pad = -len(succ) % mesh.size
+        id_to_pos = {g: i for i, g in enumerate(guide_ids)}
+        recs = list(state.completed.values())
+        win_idx = np.asarray(
+            [id_to_pos.get(r.get("winning_guide"), -1) for r in recs],
+            np.int32)
+        succ = np.asarray([bool(r["success"]) for r in recs], np.int32)
+        pad = -len(recs) % mesh.size
+        win_idx = np.concatenate([win_idx, np.full(pad, -1, np.int32)])
         succ = np.concatenate([succ, np.zeros(pad, np.int32)])
-        total = int(make_success_reducer(mesh)(jnp.asarray(succ)))
-        host_total = int(sum(r["success"] for r in state.completed.values()))
-        assert total == host_total, (total, host_total)
+        wins, succ_win, total = make_per_guide_tally(mesh, H)(
+            jnp.asarray(win_idx), jnp.asarray(succ))
+        wins, succ_win = np.asarray(wins), np.asarray(succ_win)
+        state.device_per_guide = {
+            int(g): {"wins": int(wins[i]),
+                     "successes_when_winning": int(succ_win[i])}
+            for i, g in enumerate(guide_ids)}
+        state.device_success_total = int(total)
     return state

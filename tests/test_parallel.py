@@ -207,6 +207,50 @@ def test_sweep_driver_meshed_matches_unsharded(tmp_path, rng):
     summary = st_mesh.summary()
     assert "per_guide" in summary
     assert sum(v["wins"] for v in summary["per_guide"].values()) == 6
+    # meshed runs source per-guide stats from the device psum tally, and the
+    # reduction must agree with the single-device host derivation
+    assert summary["per_guide_source"] == "device_psum"
+    plain_summary = st_plain.summary()
+    assert "per_guide_source" not in plain_summary
+    for g in plain_summary["per_guide"]:
+        assert summary["per_guide"][g]["wins"] == \
+            plain_summary["per_guide"][g]["wins"]
+        assert summary["per_guide"][g]["successes_when_winning"] == \
+            plain_summary["per_guide"][g]["successes_when_winning"]
+    assert st_mesh.device_success_total == \
+        plain_summary["overall"]["successes"]
+
+
+def test_per_guide_tally_device_reduction():
+    """make_per_guide_tally: psum-reduced wins / successes-when-winning /
+    total successes over a sharded scene axis, with -1 = unattributed."""
+    mesh = M.make_mesh()
+    H = 3
+    win = jnp.asarray([0, 1, 1, 2, -1, 0, 1, 2], jnp.int32)
+    suc = jnp.asarray([1, 0, 1, 1, 1, 0, 1, 0], jnp.int32)
+    wins, succ_win, total = coll.make_per_guide_tally(mesh, H)(win, suc)
+    np.testing.assert_array_equal(np.asarray(wins), [2, 3, 2])
+    np.testing.assert_array_equal(np.asarray(succ_win), [1, 2, 1])
+    assert int(total) == 5
+
+
+def test_validator_error_propagates(tmp_path, rng):
+    """An exception inside the oracle/evaluation thread must fail the sweep
+    loudly, not die silently in a daemon thread."""
+    from unittest import mock
+
+    from edmp_tpu.data.synthetic import synthetic_packed_dataset
+    from edmp_tpu.parallel.sweep import SweepConfig, run_sweep
+    from edmp_tpu.validation.oracle import TrajectoryOracle
+
+    model, params, sch, gp, cfg = _tiny_setup(rng)
+    ds = synthetic_packed_dataset(np.random.default_rng(1), 2)
+    scfg = SweepConfig(scenes_per_batch=2, substeps=2, n_q7_seeds=8,
+                      results_dir=str(tmp_path), oracle_threads=True)
+    with mock.patch.object(TrajectoryOracle, "validate",
+                           side_effect=RuntimeError("oracle exploded")):
+        with pytest.raises(RuntimeError, match="failed validation"):
+            run_sweep(model, params, sch, gp, ds, cfg, scfg, tag="err")
 
 
 def test_large_batch_plan_sharded(rng):
