@@ -69,7 +69,8 @@ def _device_peak_tflops():
 
 
 def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
-                   use_pallas=False, batch=BATCH, no_guidance=False):
+                   use_pallas=False, batch=BATCH, no_guidance=False,
+                   guidance_engine="manual"):
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +108,7 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
     cfg = P.PlannerConfig(
         batch_size=batch, traj_len=TRAJ_LEN, sampler=sampler,
         ddim_steps=ddim_steps,
+        guidance_engine=guidance_engine,
         # guidance_min_t above T disables every guided step: the A/B that
         # isolates the guidance engine's share of the fused scan
         guidance_min_t=T_STEPS + 2 if no_guidance else 5)
@@ -114,7 +116,10 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
     scenes, starts, goals, valids = [], [], [], []
     for _ in range(n_scenes):
         oc, st, gl, va = synthetic.random_problem(rng, N_OBSTACLES, N_IK)
-        scenes.append(pack_scene(oc))
+        # dataset-aware padding (mirrors run_sweep): the guidance adjoint is
+        # VPU-bound and linear in the PADDED obstacle count, so pad to the
+        # workload's true count, not the MAX_OBSTACLES ceiling
+        scenes.append(pack_scene(oc, max_obstacles=N_OBSTACLES))
         starts.append(st)
         goals.append(gl)
         valids.append(va)
@@ -130,7 +135,8 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
 
 
 def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
-            use_pallas=False, batch=BATCH, no_guidance=False):
+            use_pallas=False, batch=BATCH, no_guidance=False,
+            guidance_engine="manual"):
     """Measure one configuration.  Returns a result dict with throughput and
     FLOP accounting."""
     import jax
@@ -139,7 +145,8 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
     from edmp_tpu.utils.flops import plan_flops_analytic
 
     model, sch, cfg, args = build_workload(
-        n_scenes, sampler, ddim_steps, bf16, use_pallas, batch, no_guidance)
+        n_scenes, sampler, ddim_steps, bf16, use_pallas, batch, no_guidance,
+        guidance_engine)
     fn = P.make_batched_plan_fn(model, sch, cfg)
 
     # XLA cost analysis needs the AOT lower().compile() path, which has been
@@ -187,7 +194,7 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
     out = {
         "scenes": n_scenes, "batch": batch, "reps": reps,
         "sampler": sampler, "bf16": bf16, "use_pallas": use_pallas,
-        "no_guidance": no_guidance,
+        "no_guidance": no_guidance, "guidance_engine": guidance_engine,
         "scenes_per_sec": round(scenes_per_sec, 4),
         "sec_per_scene": round(1.0 / scenes_per_sec, 5),
         "flops_per_scene_analytic": round(analytic / n_scenes),
@@ -327,6 +334,11 @@ def run_suite(reps):
          ["--scenes", "1", "--batch", "1216"]],
         # Pallas fused-conv A/B
         _alt_scenes(lambda s: ["--scenes", str(s), "--use-pallas"], (6, 7)),
+        # fused Pallas guidance-gradient kernel A/B (costs/pallas_grad.py)
+        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
+                               "pallas"], (6, 7)),
+        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
+                               "pallas"], (17, 19)),
         # guidance-share A/B: every guided step disabled
         _alt_scenes(lambda s: ["--scenes", str(s), "--no-guidance"], (6, 7)),
         # bf16 and DDIM variants
@@ -350,7 +362,9 @@ def run_suite(reps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=4)
+    # default fold = the measured S-scaling optimum (bench_details.json:
+    # throughput rises monotonically to the S~17 flat top; VERDICT r2 #6)
+    ap.add_argument("--scenes", type=int, default=17)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--measure-baseline", action="store_true")
@@ -362,6 +376,10 @@ def main():
                     help="bfloat16 conv/dense compute in the denoiser")
     ap.add_argument("--use-pallas", action="store_true",
                     help="fused Pallas Conv1dBlock kernels in the denoiser")
+    ap.add_argument("--guidance-engine", default="manual",
+                    choices=["manual", "pallas", "fast", "noop"],
+                    help="guidance-gradient engine (pallas = fused VMEM "
+                    "kernel, costs/pallas_grad.py)")
     ap.add_argument("--no-guidance", action="store_true",
                     help="disable all guided steps (guidance-share A/B)")
     ap.add_argument("--direct", action="store_true",
@@ -385,7 +403,7 @@ def main():
     if args.oneshot_json:
         out = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
                       args.bf16, args.use_pallas, args.batch,
-                      args.no_guidance)
+                      args.no_guidance, args.guidance_engine)
         print(json.dumps(out))
         return
 
@@ -400,14 +418,15 @@ def main():
     elif args.direct:
         head = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
                        args.bf16, args.use_pallas, args.batch,
-                       args.no_guidance)
+                       args.no_guidance, args.guidance_engine)
     else:
         # default (driver) path: watchdog + fresh-shape fallback so a
         # poisoned program hash cannot hang the round's bench record
         def flags(s):
             f = ["--scenes", str(s), "--batch", str(args.batch),
                  "--sampler", args.sampler, "--ddim-steps",
-                 str(args.ddim_steps)]
+                 str(args.ddim_steps),
+                 "--guidance-engine", args.guidance_engine]
             if args.bf16:
                 f.append("--bf16")
             if args.use_pallas:
@@ -435,6 +454,8 @@ def main():
         metric += "_bf16"
     if head["use_pallas"]:
         metric += "_pallas"
+    if head.get("guidance_engine", "manual") != "manual":
+        metric += f"_g{head['guidance_engine']}"
     if head.get("no_guidance"):
         metric += "_noguide"
     line = {"metric": metric, "value": head["scenes_per_sec"],

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from edmp_tpu import constants as C
@@ -69,36 +70,32 @@ def _joint_frame(Rs, ps, j):
     return Rs[j], ps[j]
 
 
-def manual_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
-                             guidance_method):
-    """Closed-form gradient of guide.blended_cost w.r.t. the interior
-    waypoints.  Same signature/semantics as fast_guide (minus grad_norm,
-    which the caller applies)."""
-    B, N, _ = joints.shape
-    dtype = joints.dtype
-    startb = jnp.broadcast_to(start, (B, 7))
-    goalb = jnp.broadcast_to(goal, (B, 7))
-    traj = jnp.concatenate([startb[:, None, :], joints, goalb[:, None, :]],
-                           axis=1)
-    W = N + 2
-    qT = jnp.transpose(traj, (2, 1, 0))  # (7, W, B)
-    q = [qT[j] for j in range(7)]
+def lane_major_guidance_grad(q, olo, ohi, w_iv, w_sv):
+    """The shared lane-major gradient core (XLA and Pallas engines).
+
+    q : list of 7 (W, B) joint-angle planes (endpoints included)
+    olo/ohi : lists of 3 (O, B) obstacle AABB coordinate planes
+    w_iv/w_sv : (1, B) per-sample iv/sv blend weights
+    Returns gq: list of 7 (W, B) gradient planes (endpoint rows carry sv
+    adjoints the caller discards).
+
+    Every op is elementwise/broadcast over (W, B) or (O, W, B) — inside a
+    Pallas kernel all intermediates live in VMEM for one lane block.
+    """
+    W, B = q[0].shape
+    dtype = q[0].dtype
 
     Rs, ps, trig = _fk_forward(q)
-
-    oloT = jnp.transpose(obs_lo, (1, 2, 0))  # (O, 3, B)
-    ohiT = jnp.transpose(obs_hi, (1, 2, 0))
-    O = oloT.shape[0]
-    m = guidance_method
-    w_iv = (1.0 - m)[None, :]  # (1, B) over (W, B) arrays
-    w_sv = m[None, :]
 
     zero = jnp.zeros((W, B), dtype)
     # accumulated world-frame adjoints per joint frame
     dR = [[[zero, zero, zero], [zero, zero, zero], [zero, zero, zero]]
           for _ in range(7)]
     dp = [[zero, zero, zero] for _ in range(7)]
-    interior = jnp.ones((W, 1), dtype).at[0, 0].set(0.0).at[-1, 0].set(0.0)
+    # interior-row mask without scatter (.at) so the same code lowers in
+    # Pallas: rows 1..W-2 are 1, endpoint rows 0
+    wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    interior = ((wi > 0) & (wi < W - 1)).astype(dtype)
 
     for l in range(9):
         j = int(_LJ[l])  # joint frame index (1-based == Rs/ps index)
@@ -119,21 +116,21 @@ def manual_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
         # obstacles stay a VECTORIZED axis: all overlap quantities are
         # (O, W, B) and reduce over O — same dataflow as the forward cost,
         # ~O x fewer ops than unrolling obstacles in Python.
-        olo = [oloT[:, k, :][:, None, :] for k in range(3)]  # (O, 1, B)
-        ohi = [ohiT[:, k, :][:, None, :] for k in range(3)]
+        olo_e = [olo[k][:, None, :] for k in range(3)]  # (O, 1, B)
+        ohi_e = [ohi[k][:, None, :] for k in range(3)]
 
         # ---- intersection volumes on interior waypoints ----
         ck = []
         for k in range(3):
-            tk = jnp.minimum(hi[k], ohi[k]) - jnp.maximum(lo[k], olo[k])
+            tk = jnp.minimum(hi[k], ohi_e[k]) - jnp.maximum(lo[k], olo_e[k])
             ck.append(jnp.maximum(tk, 0.0))
         others = [ck[1] * ck[2], ck[0] * ck[2], ck[0] * ck[1]]
         dlo = [None] * 3
         dhi = [None] * 3
         for k in range(3):
             live = (ck[k] > 0.0).astype(dtype) * others[k] * w_iv
-            ghi = jnp.sum(live * (hi[k] <= ohi[k]).astype(dtype), axis=0)
-            glo = -jnp.sum(live * (lo[k] >= olo[k]).astype(dtype), axis=0)
+            ghi = jnp.sum(live * (hi[k] <= ohi_e[k]).astype(dtype), axis=0)
+            glo = -jnp.sum(live * (lo[k] >= olo_e[k]).astype(dtype), axis=0)
             # interior only: endpoint rows carry no iv cost
             dhi[k] = ghi * interior
             dlo[k] = glo * interior
@@ -143,13 +140,13 @@ def manual_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
         shi = [jnp.maximum(hi[k][:-1], hi[k][1:]) for k in range(3)]
         sk = []
         for k in range(3):
-            tk = jnp.minimum(shi[k], ohi[k]) - jnp.maximum(slo[k], olo[k])
+            tk = jnp.minimum(shi[k], ohi_e[k]) - jnp.maximum(slo[k], olo_e[k])
             sk.append(jnp.maximum(tk, 0.0))
         sothers = [sk[1] * sk[2], sk[0] * sk[2], sk[0] * sk[1]]
         for k in range(3):
             live = (sk[k] > 0.0).astype(dtype) * sothers[k] * w_sv
-            gshi = jnp.sum(live * (shi[k] <= ohi[k]).astype(dtype), axis=0)
-            gslo = -jnp.sum(live * (slo[k] >= olo[k]).astype(dtype), axis=0)
+            gshi = jnp.sum(live * (shi[k] <= ohi_e[k]).astype(dtype), axis=0)
+            gslo = -jnp.sum(live * (slo[k] >= olo_e[k]).astype(dtype), axis=0)
             # route hull adjoints to the arg-extreme waypoint; ties give the
             # first (jnp.minimum grad convention: cotangent to x when x <= y)
             lo_first = (lo[k][:-1] <= lo[k][1:]).astype(dtype)
@@ -210,6 +207,73 @@ def manual_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
                 dRp[i][2] = dRp[i][2] + gsum * sa + g2 * ca + gp_i * (ca * d)
                 dpp[i] = dpp[i] + gp_i
 
+    return gq
+
+
+def lane_major_obstacle_planes(centersT, absrotT, dimsT, expansion, clearance):
+    """Per-step obstacle AABB planes from PRE-TRANSPOSED scene params.
+
+    The scene geometry (centers, |R|, dims) is t-independent — only the
+    scalar expansion/clearance schedules change per step — so the sampler
+    hoists the (B, O, ...) -> lane-major transposes OUT of the scan and this
+    per-step function is pure (O, B)-plane arithmetic (obstacles.py:88-111
+    semantics: extents floored at ``expansion``, grown by ``clearance``).
+
+    centersT/dimsT : lists of 3 (O, B); absrotT : 3x3 nested lists of (O, B);
+    expansion/clearance : (B,).  Returns (olo, ohi): lists of 3 (O, B).
+    """
+    e = expansion[None, :]
+    cl = clearance[None, :]
+    # halve BEFORE the |R| products — the same float-op order as
+    # obstacles.obstacle_aabbs' einsum(|R|, sizes*0.5), keeping this path
+    # bit-identical to the reference-parity engine
+    half = [(jnp.maximum(dimsT[k], e) + cl) * 0.5 for k in range(3)]
+    olo, ohi = [], []
+    for i in range(3):
+        ext = (absrotT[i][0] * half[0] + absrotT[i][1] * half[1]
+               + absrotT[i][2] * half[2])
+        olo.append(centersT[i] - ext)
+        ohi.append(centersT[i] + ext)
+    return olo, ohi
+
+
+def scene_to_lane_major(scene):
+    """SceneObstacles -> pre-transposed plane lists for
+    lane_major_obstacle_planes.  Per-sample scenes (B, O, ...) become (O, B)
+    planes; shared scenes (O, ...) become (O, 1) planes that broadcast over
+    the lane axis."""
+    def plane(a):  # (B, O) or (O,)
+        return jnp.transpose(a) if a.ndim == 2 else a[:, None]
+
+    centersT = [plane(scene.centers[..., k]) for k in range(3)]
+    dimsT = [plane(scene.dims[..., k]) for k in range(3)]
+    absrotT = [[plane(scene.abs_rot[..., i, j]) for j in range(3)]
+               for i in range(3)]
+    return centersT, absrotT, dimsT
+
+
+def manual_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
+                             guidance_method):
+    """Closed-form gradient of guide.blended_cost w.r.t. the interior
+    waypoints.  Same signature/semantics as fast_guide (minus grad_norm,
+    which the caller applies).  XLA entry to the lane-major core."""
+    B, N, _ = joints.shape
+    startb = jnp.broadcast_to(start, (B, 7))
+    goalb = jnp.broadcast_to(goal, (B, 7))
+    traj = jnp.concatenate([startb[:, None, :], joints, goalb[:, None, :]],
+                           axis=1)
+    qT = jnp.transpose(traj, (2, 1, 0))  # (7, W, B)
+    q = [qT[j] for j in range(7)]
+
+    oloT = jnp.transpose(obs_lo, (1, 2, 0))  # (O, 3, B)
+    ohiT = jnp.transpose(obs_hi, (1, 2, 0))
+    olo = [oloT[:, k, :] for k in range(3)]
+    ohi = [ohiT[:, k, :] for k in range(3)]
+    m = guidance_method
+    w_iv = (1.0 - m)[None, :]  # (1, B) over (W, B) arrays
+    w_sv = m[None, :]
+
+    gq = lane_major_guidance_grad(q, olo, ohi, w_iv, w_sv)
     g = jnp.stack(gq, axis=0)          # (7, W, B)
     g = jnp.transpose(g, (2, 1, 0))    # (B, W, 7)
     return g[:, 1:-1, :]               # interior waypoints only

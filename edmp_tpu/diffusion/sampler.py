@@ -26,13 +26,59 @@ import jax.numpy as jnp
 import numpy as np
 
 from edmp_tpu import constants as C
-from edmp_tpu.costs.grad_kernel import guidance_gradient_manual
+from edmp_tpu.costs.grad_kernel import (lane_major_guidance_grad,
+                                        lane_major_obstacle_planes,
+                                        scene_to_lane_major)
 from edmp_tpu.costs.guide import GuideParams
 from edmp_tpu.costs.obstacles import SceneObstacles, obstacle_aabbs
 from edmp_tpu.diffusion.schedule import DiffusionSchedule
 
-_LOWER = jnp.asarray(C.JOINT_LIMITS_LOWER, jnp.float32)
-_UPPER = jnp.asarray(C.JOINT_LIMITS_UPPER, jnp.float32)
+# numpy (not device) constants — device-array creation at import would
+# initialize the backend before jax.distributed.initialize
+_LOWER = np.asarray(C.JOINT_LIMITS_LOWER, np.float32)
+_UPPER = np.asarray(C.JOINT_LIMITS_UPPER, np.float32)
+
+
+def _make_lane_guided_update(scene, guide, start, goal, batch_size,
+                             expansion_t, clearance_t, schedule_t):
+    """Build the LANE-RESIDENT guided step (the default engine's fast path).
+
+    In-scan profiling (bench_details.json r3: no-guidance 25.2 vs noop 24.6
+    vs manual 21.0 scenes/s) showed the gradient dataflow costs ~9x its
+    standalone time inside the big scan body — fusion/layout churn, not
+    math.  This path hoists every t-independent piece out of the scan
+    (obstacle-parameter transposes, blend weights, broadcast endpoints) so
+    the per-step work is exactly: one transpose in, (O,B)-plane arithmetic,
+    the adjoint core, one transpose out.
+    """
+    startb = jnp.broadcast_to(start, (batch_size, 7)).astype(jnp.float32)
+    goalb = jnp.broadcast_to(goal, (batch_size, 7)).astype(jnp.float32)
+    centersT, absrotT, dimsT = scene_to_lane_major(scene)
+    m = guide.guidance_method
+    w_iv = (1.0 - m)[None, :]
+    w_sv = m[None, :]
+    gn = guide.grad_norm  # (B,)
+
+    def guided_update(x, t):
+        interior = clip_joints(x[:, 1:-1, :])
+        olo, ohi = lane_major_obstacle_planes(
+            centersT, absrotT, dimsT, expansion_t[t - 1], clearance_t[t - 1])
+        traj = jnp.concatenate(
+            [startb[:, None, :], interior, goalb[:, None, :]], axis=1)
+        qT = jnp.transpose(traj, (2, 1, 0))          # (7, W, B)
+        gq = lane_major_guidance_grad(
+            [qT[j] for j in range(7)], olo, ohi, w_iv, w_sv)
+        gq = [g[1:-1] for g in gq]                   # interior rows, (N, B)
+        # whole-tensor grad-norm blend (lib/guide.py:627-629), same float-op
+        # order as the reference-parity engine: (1-gn)*g + gn*(g/norm)
+        norm = jnp.sqrt(sum(jnp.sum(g * g) for g in gq))
+        scale = schedule_t[t - 1][None, :]
+        gn_r = gn[None, :]
+        g = jnp.stack([scale * ((1.0 - gn_r) * g + gn_r * (g / norm))
+                       for g in gq])                 # (7, N, B)
+        return x.at[:, 1:-1, :].add(-jnp.transpose(g, (2, 1, 0)))
+
+    return guided_update
 
 
 def clip_joints(joints):
@@ -63,6 +109,7 @@ def denoise_guided(
     guidance_min_t: int = 5,
     init_noise=None,
     step_noise=None,
+    guidance_fn=None,
 ):
     """Run the full guided reverse process.  Returns (B, N, C) trajectories.
 
@@ -101,22 +148,34 @@ def denoise_guided(
             / jnp.sqrt(alpha)
         return x + beta * z
 
-    def guided_update(x, t):
-        interior = clip_joints(x[:, 1:-1, :])
-        obs_lo, obs_hi = obstacle_aabbs(
-            scene,
-            expansion=guide.expansion[:, t - 1],
-            clearance=guide.clearance[:, t - 1],
-        )
-        B = x.shape[0]
-        obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
-        obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
-        # hand-derived lane-major gradient (costs/grad_kernel.py): computes
-        # exactly the required adjoints, no autodiff graph
-        g = guidance_gradient_manual(interior, start, goal, obs_lo, obs_hi,
-                                     guide)
-        scale = guide.guidance_schedule[:, t - 1][:, None, None]
-        return x.at[:, 1:-1, :].add(-scale * g)
+    # per-step hyperparameter schedules pre-transposed to (T, B): inside the
+    # scan, [t-1] is then a contiguous-row dynamic slice instead of a
+    # strided column gather of a (B, T) array at a traced index
+    expansion_t = guide.expansion.T
+    clearance_t = guide.clearance.T
+    schedule_t = guide.guidance_schedule.T
+
+    if guidance_fn is None:
+        # default engine: lane-resident guided step (everything
+        # t-independent hoisted out of the scan — see _make_lane_guided_update)
+        guided_update = _make_lane_guided_update(
+            scene, guide, start, goal, batch_size,
+            expansion_t, clearance_t, schedule_t)
+    else:
+        def guided_update(x, t):
+            interior = clip_joints(x[:, 1:-1, :])
+            obs_lo, obs_hi = obstacle_aabbs(
+                scene,
+                expansion=expansion_t[t - 1],
+                clearance=clearance_t[t - 1],
+            )
+            B = x.shape[0]
+            obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
+            obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
+            # engine slot: custom gradient (pallas_grad.py / fast_guide.py)
+            g = guidance_fn(interior, start, goal, obs_lo, obs_hi, guide)
+            scale = schedule_t[t - 1][:, None, None]
+            return x.at[:, 1:-1, :].add(-scale * g)
 
     if guidance_period == 2:
         # Fast path: the guided timesteps (even t >= guidance_min_t) are
@@ -181,6 +240,8 @@ def denoise_guided_ddim(
     num_steps: int = 32,
     traj_len: int = C.DEFAULT_TRAJ_LEN,
     num_channels: int = C.DEFAULT_NUM_CHANNELS,
+    guidance_fn=None,
+    guidance_period: int = 1,
 ):
     """Accelerated guided sampling: deterministic DDIM (eta=0) over a
     ``num_steps``-point subsequence of the T-step schedule, with ensemble
@@ -190,6 +251,10 @@ def denoise_guided_ddim(
     steps): ~T/num_steps fewer UNet evaluations at some quality cost; the
     per-sample hyperparameter schedules index the original timesteps, so the
     ensemble semantics carry over unchanged.
+
+    ``guidance_period``: apply guidance every k-th coarse step (always
+    including the first); 1 = every step.  The cadence/quality frontier is
+    studied in docs/ddim_cadence.md.
     """
     T = schedule.T
     start = jnp.asarray(start, jnp.float32)
@@ -204,6 +269,29 @@ def denoise_guided_ddim(
     x = jax.random.normal(init_key, (batch_size, traj_len, num_channels))
     x = _pin_endpoints(x, start, goal)
 
+    # (T, B) schedule transposes: contiguous-row slices inside the scan
+    expansion_t = guide.expansion.T
+    clearance_t = guide.clearance.T
+    schedule_t = guide.guidance_schedule.T
+
+    if guidance_fn is None:
+        guided_update = _make_lane_guided_update(
+            scene, guide, start, goal, batch_size,
+            expansion_t, clearance_t, schedule_t)
+    else:
+        def guided_update(x, t):
+            interior = clip_joints(x[:, 1:-1, :])
+            obs_lo, obs_hi = obstacle_aabbs(
+                scene, expansion=expansion_t[t - 1],
+                clearance=clearance_t[t - 1])
+            B = x.shape[0]
+            obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
+            obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
+            g = guidance_fn(interior, start, goal, obs_lo, obs_hi,
+                            guide)  # includes the grad_norm option
+            scale = schedule_t[t - 1][:, None, None]
+            return x.at[:, 1:-1, :].add(-scale * g)
+
     def step(x, k):
         t = taus[k]
         t_next = jnp.where(k + 1 < K, taus[jnp.minimum(k + 1, K - 1)], 0)
@@ -213,17 +301,11 @@ def denoise_guided_ddim(
         x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
         x = jnp.sqrt(ab_n) * x0 + jnp.sqrt(1.0 - ab_n) * eps
 
-        interior = clip_joints(x[:, 1:-1, :])
-        obs_lo, obs_hi = obstacle_aabbs(
-            scene, expansion=guide.expansion[:, t - 1],
-            clearance=guide.clearance[:, t - 1])
-        B = x.shape[0]
-        obs_lo = jnp.broadcast_to(obs_lo, (B,) + obs_lo.shape[-2:])
-        obs_hi = jnp.broadcast_to(obs_hi, (B,) + obs_hi.shape[-2:])
-        g = guidance_gradient_manual(interior, start, goal, obs_lo, obs_hi,
-                                     guide)  # includes the grad_norm option
-        scale = guide.guidance_schedule[:, t - 1][:, None, None]
-        x = x.at[:, 1:-1, :].add(-scale * g)
+        if guidance_period > 1:
+            x = jax.lax.cond(k % guidance_period == 0,
+                             lambda x: guided_update(x, t), lambda x: x, x)
+        else:
+            x = guided_update(x, t)
         return _pin_endpoints(x, start, goal), ()
 
     x, _ = jax.lax.scan(step, x, jnp.arange(K))

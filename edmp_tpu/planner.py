@@ -25,19 +25,43 @@ from edmp_tpu.diffusion.sampler import denoise_guided, denoise_guided_ddim
 from edmp_tpu.diffusion.schedule import DiffusionSchedule
 
 
+def _resolve_guidance_fn(engine: str):
+    """Guidance-gradient engine slot: 'manual' (hand-derived XLA,
+    grad_kernel.py), 'pallas' (fused VMEM-resident kernel, pallas_grad.py),
+    'fast' (jax.grad of the lane-major cost, fast_guide.py)."""
+    if engine == "pallas":
+        from edmp_tpu.costs.pallas_grad import guidance_gradient_pallas
+
+        return guidance_gradient_pallas
+    if engine == "fast":
+        from edmp_tpu.costs.fast_guide import guidance_gradient_fast
+
+        return guidance_gradient_fast
+    if engine == "noop":
+        # diagnostic: keeps the guided-pair scan structure and obstacle prep
+        # but skips the gradient math — isolates the gradient's in-scan share
+        return lambda joints, *a, **k: jnp.zeros_like(joints)
+    # 'manual' -> None: the sampler's lane-resident default path
+    # (sampler._make_lane_guided_update, same adjoint core as grad_kernel)
+    return None
+
+
 def _run_sampler(apply_fn, params, schedule, scene, guide, start, goal, rng,
                  cfg: "PlannerConfig", batch_size: int):
+    gfn = _resolve_guidance_fn(cfg.guidance_engine)
     if cfg.sampler == "ddim":
         return denoise_guided_ddim(
             apply_fn, params, schedule, scene, guide, start, goal, rng,
             batch_size=batch_size, num_steps=cfg.ddim_steps,
-            traj_len=cfg.traj_len, num_channels=cfg.num_channels)
+            traj_len=cfg.traj_len, num_channels=cfg.num_channels,
+            guidance_fn=gfn, guidance_period=cfg.ddim_guidance_period)
     return denoise_guided(
         apply_fn, params, schedule, scene, guide, start, goal, rng,
         batch_size=batch_size, traj_len=cfg.traj_len,
         num_channels=cfg.num_channels,
         guidance_period=cfg.guidance_period,
-        guidance_min_t=cfg.guidance_min_t)
+        guidance_min_t=cfg.guidance_min_t,
+        guidance_fn=gfn)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +78,10 @@ class PlannerConfig:
     # 'ddim' = accelerated deterministic subsequence sampling
     sampler: str = "ddpm"
     ddim_steps: int = 32
+    # guidance cadence for DDIM (every k-th coarse step; docs/ddim_cadence.md)
+    ddim_guidance_period: int = 1
+    # gradient engine: 'manual' (XLA), 'pallas' (fused kernel), 'fast'
+    guidance_engine: str = "manual"
 
 
 class PlanResult(NamedTuple):
