@@ -115,9 +115,11 @@ def main(argv=None):
     # dataset sweep; single-process runs keep the full range)
     import jax as _jax
 
+    scene_index_offset = 0
     if _jax.process_count() > 1:
         sl = process_scene_slice(len(dataset))
         dataset = dataset.select(np.arange(sl.start, sl.stop))
+        scene_index_offset = sl.start  # per-scene RNG keys stay GLOBAL
         print(f"host {_jax.process_index()}: scenes [{sl.start}, {sl.stop})")
     print(f"dataset: {len(dataset)} scenes")
 
@@ -184,7 +186,8 @@ def main(argv=None):
     state = run_sweep(model, params, make_schedule(cfg.T), gp, dataset,
                       plan_cfg, sweep_cfg, tag=tag,
                       max_scenes=args.max_scenes, mesh=mesh,
-                      guide_ids=cfg.guide_ids)
+                      guide_ids=cfg.guide_ids,
+                      scene_index_offset=scene_index_offset)
     dt = time.time() - t0
     summary = state.summary()
     summary["wall_time_s"] = round(dt, 2)

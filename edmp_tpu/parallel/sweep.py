@@ -236,6 +236,8 @@ def run_sweep(
     max_scenes: Optional[int] = None,
     mesh=None,
     guide_ids: Optional[List[int]] = None,
+    scene_index_offset: int = 0,
+    plan_fn=None,
 ) -> SweepState:
     """Run (or resume) the sweep.
 
@@ -243,7 +245,14 @@ def run_sweep(
     single-device behaviour is unchanged when None.  ``guide_ids``: enables
     per-guide ensemble attribution in the spool/summary (winning guide id +
     per-guide min swept cost; batch layout H guides x B/H samples,
-    infer_serial.py:56-91).
+    infer_serial.py:56-91).  ``scene_index_offset``: global index of this
+    dataset's first scene (multi-host slices) — all per-scene randomness is
+    keyed by GLOBAL scene index, so a host planning its slice reproduces the
+    single-process run scene-for-scene (proven in tests/test_multihost.py).
+    ``plan_fn``: a prebuilt make_batched_plan_fn result to reuse across
+    run_sweep calls — guide hyperparameters are ARGUMENTS of the jitted
+    program, so e.g. tools/ensemble_study.py sweeps many guide configs on
+    ONE compile.
     """
     state = SweepState(sweep_cfg.results_dir, tag)
     rng = np.random.default_rng(sweep_cfg.seed)
@@ -259,8 +268,16 @@ def run_sweep(
     if mesh is not None and Sb % mesh.size != 0:
         Sb = -(-Sb // mesh.size) * mesh.size  # pad up to a mesh multiple
 
-    plan_fn = P.make_batched_plan_fn(model, schedule, plan_cfg, mesh=mesh)
+    if plan_fn is None:
+        plan_fn = P.make_batched_plan_fn(model, schedule, plan_cfg, mesh=mesh)
     ik_fn = _ik_targets_fn()
+    # dataset-aware obstacle padding: the guidance adjoint is VPU-bound and
+    # its work is LINEAR in the padded obstacle count, so padding to the
+    # dataset's true maximum (not the global MAX_OBSTACLES=24 ceiling)
+    # directly buys throughput — e.g. 8-obstacle scenes do 3x less guidance
+    # math.  Rounded up to a multiple of 4 to limit distinct program shapes.
+    o_pad = int(dataset.n_obstacles.max()) if len(dataset) else 1
+    o_pad = max(-(-o_pad // 4) * 4, 4)
     oracle = TrajectoryOracle(substeps=sweep_cfg.substeps)
     evaluator = None
     if sweep_cfg.full_evaluation:
@@ -357,15 +374,21 @@ def run_sweep(
         pad = Sb - len(chunk)
         idx = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
         scenes = stack_scenes(
-            [pack_scene(dataset.scene_obstacle_config(int(i))) for i in idx])
+            [pack_scene(dataset.scene_obstacle_config(int(i)),
+                        max_obstacles=o_pad) for i in idx])
         starts = jnp.asarray(dataset.q0[idx], jnp.float32)
         targets = jnp.asarray(dataset.target[idx], jnp.float32)
-        seeds = np.stack([
-            np.concatenate([
-                rng.uniform(-C.Q7_RANGE, C.Q7_RANGE, sweep_cfg.n_q7_seeds // 2),
+        # q7 sweep seeds keyed by (sweep seed, GLOBAL scene index): identical
+        # regardless of chunk order, resume point, or host slice
+        def _scene_seeds(i):
+            r = np.random.default_rng(
+                (sweep_cfg.seed, int(i) + scene_index_offset))
+            return np.concatenate([
+                r.uniform(-C.Q7_RANGE, C.Q7_RANGE, sweep_cfg.n_q7_seeds // 2),
                 np.linspace(-C.Q7_RANGE, C.Q7_RANGE,
                             sweep_cfg.n_q7_seeds - sweep_cfg.n_q7_seeds // 2),
-            ]) for _ in idx])
+            ])
+        seeds = np.stack([_scene_seeds(i) for i in idx])
         goals, valid = ik_fn(targets, jnp.asarray(seeds, jnp.float32))
         # analytic-IK dropout fallback: targets whose q7 sweep yields no
         # branch passing the FK-residual gate (possible for hard
@@ -391,7 +414,7 @@ def run_sweep(
                     goals = goals.at[row, 0].set(best_q)
                     valid = valid.at[row, 0].set(True)
         sub = jax.random.fold_in(jax.random.key(sweep_cfg.seed),
-                                 int(chunk[0]))
+                                 int(chunk[0]) + scene_index_offset)
         res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
         return chunk, res, time.perf_counter()
 

@@ -29,8 +29,9 @@ import numpy as np
 from edmp_tpu import constants as C
 from edmp_tpu.robot import kinematics as kin
 
-_LOWER = jnp.asarray(C.FRANKA_LOWER, jnp.float32)
-_UPPER = jnp.asarray(C.FRANKA_UPPER, jnp.float32)
+# numpy (not device) constants — see kinematics.py note
+_LOWER = np.asarray(C.FRANKA_LOWER, np.float32)
+_UPPER = np.asarray(C.FRANKA_UPPER, np.float32)
 
 # segment constants from the DH table
 _D1 = 0.333          # base -> shoulder height

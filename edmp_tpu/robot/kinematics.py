@@ -27,9 +27,12 @@ import numpy as np
 from edmp_tpu import constants as C
 
 # Static single-precision device constants (closed over by jitted fns).
-_DH = jnp.asarray(C.DH_PARAMS, dtype=jnp.float32)
-_STATIC_FRAMES = jnp.asarray(C.LINK_STATIC_FRAMES, dtype=jnp.float32)
-_LINK_HALF = jnp.asarray(C.LINK_BOX_DIMS / 2.0, dtype=jnp.float32)
+# numpy module constants: creating DEVICE arrays at import would
+# initialize the XLA backend and break jax.distributed.initialize in
+# multi-host entry points; numpy operands constant-fold identically
+_DH = np.asarray(C.DH_PARAMS, dtype=np.float32)
+_STATIC_FRAMES = np.asarray(C.LINK_STATIC_FRAMES, dtype=np.float32)
+_LINK_HALF = np.asarray(C.LINK_BOX_DIMS / 2.0, dtype=np.float32)
 
 
 def _dh_rot_trans(a, d, alpha, q):
