@@ -61,37 +61,11 @@ def orientation_error_deg(Ra: np.ndarray, Rb: np.ndarray) -> float:
     return float(np.degrees(np.arccos(tr)))
 
 
-# non-adjacent link-box pairs for the self-collision screen.  Excluded:
-# adjacent links, the hand/finger cluster, pairs whose conservative boxes
-# overlap STRUCTURALLY across the reachable space ((4,6) forearm-vs-wrist
-# 96%, (4,7) forearm-vs-hand 69% of 300 random configs), and one
-# conservative-box ARTIFACT pair ((4,8) forearm-vs-finger, 2.7% — the boxed
-# finger y-dim x4 quirk grazes the forearm box in poses the meshes clear).
-# tests/test_self_collision.py pins these frequencies so box-dim changes
-# cannot silently shift the screen.
-_STRUCTURAL = {(4, 6), (4, 7)}
-_BOX_ARTIFACT = {(4, 8)}
-_SELF_PAIRS = [(i, j) for i in range(9) for j in range(i + 2, 9)
-               if not (i >= 6 and j >= 6)
-               and (i, j) not in _STRUCTURAL | _BOX_ARTIFACT]
-
-
-def self_collision_free(trajectory: np.ndarray) -> bool:
-    """OBB screen over non-adjacent link pairs (replaces robofin's
-    FrankaSelfCollisionChecker used at mpinets/metrics.py:278-291)."""
-    import jax.numpy as jnp
-
-    from edmp_tpu.robot.kinematics import link_box_frames
-    from edmp_tpu.validation.oracle import _obbs_overlap
-
-    R, p = link_box_frames(jnp.asarray(trajectory, jnp.float32))
-    R, p = np.asarray(R), np.asarray(p)
-    h = C.LINK_BOX_DIMS / 2.0
-    for n in range(trajectory.shape[0]):
-        for i, j in _SELF_PAIRS:
-            if _obbs_overlap(R[n, i], p[n, i], h[i], R[n, j], p[n, j], h[j]):
-                return False
-    return True
+# self-collision: inscribed-capsule model (robot/self_collision.py) — no
+# structural exclusions, unlike the round-2 OBB screen (fidelity study:
+# docs/self_collision.md).  Replaces robofin's FrankaSelfCollisionChecker
+# used at mpinets/metrics.py:278-291.
+from edmp_tpu.robot.self_collision import self_collision_free  # noqa: F401,E402
 
 
 class Evaluator:

@@ -85,4 +85,7 @@ def test_evaluator_flags_collision(rng):
 def test_self_collision_screen_passes_home():
     from edmp_tpu.metrics.evaluator import self_collision_free
 
-    assert self_collision_free(np.zeros((1, 7)))
+    # the Franka ready/home pose (q=0 violates joint-4 limits and folds the
+    # arm onto itself — the capsule model rightly flags it)
+    home = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+    assert self_collision_free(home[None, :])

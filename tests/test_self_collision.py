@@ -1,66 +1,116 @@
-"""Pin the self-collision screen's structural-exclusion set to ground truth.
+"""Pin the inscribed-capsule self-collision model (robot/self_collision.py).
 
-The screen (metrics/evaluator.py) excludes link-box pairs whose conservative
-boxes overlap across the reachable space regardless of configuration; this
-test recomputes overlap frequencies over a deterministic config corpus so the
-exclusion set cannot silently drift if the link boxes change."""
+The round-2 OBB screen needed structural exclusions — (4,6) forearm-wrist
+overlapped for 96% of random configs, so it was excluded and the screen was
+blind exactly where real self-collisions happen.  The capsule model screens
+ALL pairs with >= 2 joints of relative motion and must stay informative:
+no pair may flag a majority of random configs, and the previously-excluded
+pairs must now be screened.  Frequencies are pinned over a deterministic
+corpus so geometry changes cannot silently shift the screen
+(docs/self_collision.md records the study)."""
 
 import numpy as np
+import pytest
 
 from edmp_tpu import constants as C
 from edmp_tpu.metrics import evaluator as EV
-from edmp_tpu.validation.oracle import _obbs_overlap
+from edmp_tpu.robot import self_collision as SC
+
+HOME = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
 
 
-def _overlap_freqs(n_configs=300, seed=0):
-    import jax.numpy as jnp
-
-    from edmp_tpu.robot.kinematics import link_box_frames
-
+def _corpus(n=300, seed=0):
     r = np.random.default_rng(seed)
     lo, hi = np.asarray(C.FRANKA_LOWER), np.asarray(C.FRANKA_UPPER)
-    q = lo + r.uniform(0, 1, (n_configs, 7)) * (hi - lo)
-    R, p = link_box_frames(jnp.asarray(q, jnp.float32))
-    R, p = np.asarray(R), np.asarray(p)
-    h = np.asarray(C.LINK_BOX_DIMS) / 2.0
-    freqs = {}
-    for i in range(9):
-        for j in range(i + 2, 9):
-            hits = sum(
-                _obbs_overlap(R[n, i], p[n, i], h[i], R[n, j], p[n, j], h[j])
-                for n in range(n_configs))
-            freqs[(i, j)] = hits / n_configs
-    return freqs
+    return lo + r.uniform(0, 1, (n, 7)) * (hi - lo)
 
 
-def test_structural_exclusions_are_structural():
-    freqs = _overlap_freqs()
-    # excluded pairs really do overlap for a large share of random configs —
-    # keeping them in the screen would fail nearly every trajectory
-    for pair in EV._STRUCTURAL:
-        assert freqs[pair] > 0.25, (pair, freqs[pair])
-    # the artifact pair overlaps rarely but nonzero (conservative finger box
-    # grazing the forearm box); if this drifts above structural levels or to
-    # zero, the classification must be revisited
-    for pair in EV._BOX_ARTIFACT:
-        assert 0.005 < freqs[pair] < 0.25, (pair, freqs[pair])
-    # the hand/finger cluster (>=6, >=6) shares one rigid frame, so its
-    # overlap state is configuration-INDEPENDENT (frequency exactly 0 or 1)
-    # — excluded because rigid bodies cannot collide by motion
-    for i in range(6, 9):
-        for j in range(i + 2, 9):
-            assert freqs[(i, j)] in (0.0, 1.0), ((i, j), freqs[(i, j)])
+def test_no_structural_exclusions():
+    """Every pair with >= 2 joints of relative motion is screened; the OBB
+    screen's excluded pairs are back in."""
+    pairs = set(SC.SELF_PAIRS)
+    for p in [(4, 6), (4, 7), (4, 8)]:  # the old blind spots
+        assert p in pairs
+    # rigid hand/finger cluster (all on joint frame 7) and shared-joint
+    # neighbours are kinematically excluded — by the frame-distance rule,
+    # not a hand-maintained exclusion list
+    lj = np.asarray(C.LINK_JOINT_FRAME)
+    for i, j in pairs:
+        assert lj[j] - lj[i] >= 2
 
 
-def test_screened_pairs_rarely_overlap():
-    freqs = _overlap_freqs()
-    for pair in EV._SELF_PAIRS:
-        # screened pairs must be informative: overlap on at most a modest
-        # fraction of random configs (true self-collisions ARE possible)
-        assert freqs[pair] < 0.25, (pair, freqs[pair])
+def test_screen_is_informative():
+    """No screened pair may be in collision for a majority of random
+    configs (that was the OBB screen's structural failure mode)."""
+    cl = SC.min_pair_clearance(_corpus())
+    rates = (cl < 0).mean(axis=0)
+    for pair, rate in zip(SC.SELF_PAIRS, rates):
+        assert rate < 0.5, (pair, rate)
+    # the forearm-wrist pair is the hardest; pin its measured band so
+    # geometry drift is caught (0.25 at seed 0, n=300)
+    i46 = SC.SELF_PAIRS.index((4, 6))
+    assert 0.1 < rates[i46] < 0.45
+    # overall: uniform-random 7-DoF configs DO self-collide a sizable
+    # minority of the time; a near-zero rate would mean a blind screen
+    flag_rate = (cl < 0).any(axis=1).mean()
+    assert 0.15 < flag_rate < 0.6
 
 
-def test_screen_passes_home_config():
-    home = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
-    traj = np.tile(home, (5, 1))
-    assert EV.self_collision_free(traj)
+def test_capsules_inscribed_in_boxes():
+    """radius + half-length never exceeds the box half-extents (the model
+    can only UNDER-approximate the conservative boxes)."""
+    dims = np.asarray(C.LINK_BOX_DIMS)
+    for l in range(9):
+        ax = int(np.argmax(dims[l]))
+        assert SC.CAPSULE_HALF_LEN[l] + SC.CAPSULE_RADIUS[l] \
+            <= dims[l, ax] / 2.0 + 1e-12
+        cross = [dims[l, k] / 2.0 for k in range(3) if k != ax]
+        assert SC.CAPSULE_RADIUS[l] <= min(cross) + 1e-12
+
+
+def test_home_and_smooth_trajectory_pass():
+    assert SC.self_collision_free(np.tile(HOME, (5, 1)))
+    # a gentle sweep around home stays clear
+    t = np.linspace(0, 1, 20)[:, None]
+    traj = HOME[None, :] + 0.3 * np.sin(np.pi * t) * np.ones((1, 7))
+    assert SC.self_collision_free(traj)
+
+
+def test_folded_wrist_flags():
+    """Wrist folded fully back toward the forearm (q5 at its upper limit,
+    elbow bent): the capsule model must flag what the OBB screen was blind
+    to.  Config found by maximizing (4,6) penetration over the corpus."""
+    cl = SC.min_pair_clearance(_corpus())
+    worst = int(np.argmin(cl[:, SC.SELF_PAIRS.index((4, 6))]))
+    q = _corpus()[worst]
+    assert not SC.self_collision_free(q[None])
+    # and the flip is driven by a genuine negative clearance, not epsilon
+    assert cl[worst, SC.SELF_PAIRS.index((4, 6))] < -0.01
+
+
+def test_segment_distance_ground_truth():
+    sd = SC.segment_distance
+    z = np.zeros(3)
+    # parallel unit segments 1 apart
+    assert sd(z, np.array([1.0, 0, 0]),
+              np.array([0.0, 1.0, 0]), np.array([1.0, 1.0, 0])) \
+        == pytest.approx(1.0)
+    # crossing skew segments: distance between midpoints' z-gap
+    assert sd(np.array([-1.0, 0, 0]), np.array([1.0, 0, 0]),
+              np.array([0.0, -1.0, 0.5]), np.array([0.0, 1.0, 0.5])) \
+        == pytest.approx(0.5)
+    # endpoint-to-endpoint case (clamping active)
+    assert sd(z, np.array([1.0, 0, 0]),
+              np.array([3.0, 0, 0]), np.array([4.0, 0, 0])) \
+        == pytest.approx(2.0)
+    # degenerate: both segments are points
+    assert sd(z, z, np.array([0.0, 3.0, 4.0]), np.array([0.0, 3.0, 4.0])) \
+        == pytest.approx(5.0)
+    # intersecting segments
+    assert sd(np.array([-1.0, 0, 0]), np.array([1.0, 0, 0]),
+              np.array([0.0, -1.0, 0]), np.array([0.0, 1.0, 0])) \
+        == pytest.approx(0.0, abs=1e-9)
+
+
+def test_evaluator_uses_capsule_model():
+    assert EV.self_collision_free is SC.self_collision_free
