@@ -92,6 +92,135 @@ def synthetic_packed_dataset(rng: np.random.Generator, n_scenes: int,
     return PackedDataset.from_problems(problems)
 
 
+def hard_cubby_problem(rng: np.random.Generator, window_half: float = 0.13,
+                       two_walls: bool = False, max_tries: int = 200):
+    """One cubby/dresser-style NARROW-PASSAGE problem.
+
+    Mimics the topology that makes the MPiNets cubby/dresser scenes hard
+    (datasets: walled compartments between start and goal): a wall of boxes
+    with a rectangular window stands between the robot and a target pose
+    BEHIND the wall, so every successful plan must thread the window.
+    ``window_half`` controls difficulty (smaller = harder);
+    ``two_walls`` adds a second, offset-window wall (merged-cubby-like).
+
+    Returns (obstacle_config, q0, q_goal) or None if no feasible layout was
+    found (caller retries with a fresh rng draw).
+    """
+    from edmp_tpu.robot.kinematics import numpy_ee_transform
+    from edmp_tpu.validation.oracle import TrajectoryOracle
+
+    # C++ oracle for the feasibility checks: ~2000x the python fallback's
+    # throughput, and the generator runs hundreds of candidate checks
+    oracle = TrajectoryOracle()
+
+    for _ in range(max_tries):
+        # 1. goal configuration whose EE sits in a reachable shell
+        q_goal = random_joint_config(rng)[0]
+        p_g = numpy_ee_transform(q_goal)[:3, 3]
+        r_xy = float(np.hypot(p_g[0], p_g[1]))
+        if not (0.45 < r_xy < 0.75 and 0.15 < p_g[2] < 0.85):
+            continue
+        u = np.array([p_g[0], p_g[1], 0.0]) / r_xy      # wall normal (horiz.)
+        v = np.array([-u[1], u[0], 0.0])                # wall tangent
+
+        # 2. wall plane between base and goal; window where the shoulder->EE
+        #    line crosses it
+        d_wall = r_xy - rng.uniform(0.12, 0.2)
+        # two-wall layouts need the INNER wall clear of the robot body
+        # (second wall sits 0.13 m closer to the base)
+        if d_wall < (0.48 if two_walls else 0.3):
+            continue
+        shoulder = np.array([0.0, 0.0, 0.35])
+        ray = p_g - shoulder
+        s = (d_wall - shoulder @ u) / max(ray @ u, 1e-6)
+        if not (0.0 < s < 1.0):
+            continue
+        cross = shoulder + s * ray
+        yw = float(cross @ v)
+        zw = float(np.clip(cross[2], 0.2, 0.85))
+        if abs(yw) > 0.45:
+            continue
+
+        def wall_rows(dist, yw, zw, w):
+            """4 boxes forming a wall with a (2w x 2w) window at (yw, zw)."""
+            ang = np.arctan2(u[1], u[0])
+            quat = np.array([0.0, 0.0, np.sin(ang / 2), np.cos(ang / 2)])
+            thick, y_ext, z_lo, z_hi = 0.05, 0.75, 0.05, 1.0
+            rows = []
+
+            def box(yc, zc, ylen, zlen):
+                if ylen <= 0.01 or zlen <= 0.01:
+                    return
+                center = u * dist + v * yc + np.array([0.0, 0.0, zc])
+                rows.append(np.concatenate(
+                    [center, quat, [thick, ylen, zlen]]))
+            box((yw - w - y_ext) / 2, (z_lo + z_hi) / 2,
+                (yw - w) - (-y_ext), z_hi - z_lo)          # left slab
+            box((yw + w + y_ext) / 2, (z_lo + z_hi) / 2,
+                y_ext - (yw + w), z_hi - z_lo)             # right slab
+            box(yw, (zw + w + z_hi) / 2, 2 * w, z_hi - (zw + w))  # top
+            box(yw, (z_lo + zw - w) / 2, 2 * w, (zw - w) - z_lo)  # bottom
+            return rows
+
+        rows = wall_rows(d_wall, yw, zw, window_half)
+        if two_walls:
+            # second wall closer to the base; its window sits where the
+            # shoulder->EE ray crosses it (so the goal stays reachable) but
+            # jittered off-axis — the path must dog-leg between openings
+            d2 = d_wall - 0.13
+            s2 = (d2 - shoulder @ u) / max(ray @ u, 1e-6)
+            cross2 = shoulder + s2 * ray
+            yw2 = float(cross2 @ v) + rng.choice([-1, 1]) * 0.05
+            zw2 = float(np.clip(cross2[2] + rng.uniform(-0.05, 0.05),
+                                0.2, 0.85))
+            rows += wall_rows(d2, yw2, zw2, window_half + 0.03)
+        oc = np.stack(rows)
+
+        # 3. start on the near side, collision-free, line-of-motion blocked
+        q0 = random_joint_config(rng)[0]
+        p_0 = numpy_ee_transform(q0)[:3, 3]
+        if p_0 @ u > d_wall - 0.12:    # start EE must be on the near side
+            continue
+        if oracle.config_in_collision(q0, oc) \
+                or oracle.config_in_collision(q_goal, oc):
+            continue
+        # the straight joint-space line must HIT the wall, else the scene
+        # is trivial and won't separate the guides
+        line = q0[None, :] + np.linspace(0, 1, 24)[:, None] * (q_goal - q0)
+        if not any(oracle.config_in_collision(q, oc) for q in line[1:-1]):
+            continue
+        return oc, q0, q_goal
+    return None
+
+
+def hard_scene_dataset(rng: np.random.Generator, n_scenes: int,
+                       window_half: float = 0.13,
+                       two_walls_frac: float = 0.5):
+    """PackedDataset of narrow-passage problems (see hard_cubby_problem).
+
+    Scene types tag the family: 'cubby' = one wall, 'merged_cubby' = two
+    offset walls.  Used by tools/ensemble_study.py to separate the guides
+    (EDMP's core ensemble claim needs scenes where single-guide success
+    drops well below ceiling)."""
+    from edmp_tpu.data.problems import PackedDataset, Problem
+    from edmp_tpu.robot.kinematics import numpy_ee_transform
+
+    problems = []
+    while len(problems) < n_scenes:
+        two = rng.uniform() < two_walls_frac
+        out = hard_cubby_problem(rng, window_half=window_half, two_walls=two)
+        if out is None:
+            continue
+        oc, q0, q_goal = out
+        problems.append(Problem(
+            target_pose=numpy_ee_transform(q_goal), q0=q0,
+            obstacle_config=oc, cuboid_config=oc,
+            cylinder_config=np.zeros((0, 9)),
+            scene_type="merged_cubby" if two else "cubby",
+            problem_type="task_oriented"))
+    return PackedDataset.from_problems(problems)
+
+
 def smooth_trajectories(rng: np.random.Generator, n: int,
                         traj_len: int = C.DEFAULT_TRAJ_LEN) -> np.ndarray:
     """Smooth random joint trajectories (B, N, 7) for training smoke tests:
