@@ -142,10 +142,16 @@ def hard_cubby_problem(rng: np.random.Generator, window_half: float = 0.13,
             continue
 
         def wall_rows(dist, yw, zw, w):
-            """4 boxes forming a wall with a (2w x 2w) window at (yw, zw)."""
+            """4 boxes forming a cabinet face with a (2w x 2w) window at
+            (yw, zw).  CABINET-sized (like the MPiNets cubby shelves), not a
+            full workspace wall: the arm must thread the window or swing
+            around the cabinet — a full wall is impossible for the elbow."""
             ang = np.arctan2(u[1], u[0])
             quat = np.array([0.0, 0.0, np.sin(ang / 2), np.cos(ang / 2)])
-            thick, y_ext, z_lo, z_hi = 0.05, 0.75, 0.05, 1.0
+            thick = 0.05
+            y_ext = 0.42
+            z_lo = max(0.05, zw - 0.32)
+            z_hi = min(1.0, zw + 0.32)
             rows = []
 
             def box(yc, zc, ylen, zlen):
@@ -176,8 +182,13 @@ def hard_cubby_problem(rng: np.random.Generator, window_half: float = 0.13,
             rows += wall_rows(d2, yw2, zw2, window_half + 0.03)
         oc = np.stack(rows)
 
-        # 3. start on the near side, collision-free, line-of-motion blocked
-        q0 = random_joint_config(rng)[0]
+        # 3. start on the near side, collision-free, line-of-motion blocked.
+        # Home-ish starts (MPiNets neutral-start style) — fully random
+        # near-limit configurations make every plan hard for reasons
+        # unrelated to the narrow passage.
+        home = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+        q0 = np.clip(home + rng.normal(0, 0.35, 7),
+                     C.FRANKA_LOWER * 0.95, C.FRANKA_UPPER * 0.95)
         p_0 = numpy_ee_transform(q0)[:3, 3]
         if p_0 @ u > d_wall - 0.12:    # start EE must be on the near side
             continue
@@ -218,6 +229,70 @@ def hard_scene_dataset(rng: np.random.Generator, n_scenes: int,
             cylinder_config=np.zeros((0, 9)),
             scene_type="merged_cubby" if two else "cubby",
             problem_type="task_oriented"))
+    return PackedDataset.from_problems(problems)
+
+
+def cluttered_scene_dataset(rng: np.random.Generator, n_scenes: int,
+                            n_obstacles: int = 10,
+                            offset_range=(0.06, 0.22)):
+    """Hard CLUTTER problems: obstacles seeded along the straight start->goal
+    joint-space sweep, so the direct path is blocked and plans must deform
+    through clutter.  Unlike the wall/window family (hard_scene_dataset,
+    which floors the synthetic-trained prior), clutter density scales
+    difficulty smoothly — the knob the ensemble study needs.
+
+    Obstacles are placed near the EE/elbow positions of interpolated
+    waypoints with random offsets in ``offset_range``; obstacles touching
+    the start or goal configuration are rejected (solvability filter, like
+    the reference's 'solvable problems' sets).
+    """
+    from edmp_tpu.data.problems import PackedDataset, Problem
+    from edmp_tpu.robot.kinematics import numpy_ee_transform
+    from edmp_tpu.validation.oracle import TrajectoryOracle
+
+    oracle = TrajectoryOracle()
+    home = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+
+    problems = []
+    while len(problems) < n_scenes:
+        q0 = np.clip(home + rng.normal(0, 0.35, 7),
+                     C.FRANKA_LOWER * 0.95, C.FRANKA_UPPER * 0.95)
+        q_goal = random_joint_config(rng)[0]
+        p_g = numpy_ee_transform(q_goal)[:3, 3]
+        if not (0.35 < np.hypot(p_g[0], p_g[1]) < 0.75 and 0.1 < p_g[2] < 0.9):
+            continue
+        line = q0[None, :] + np.linspace(0.15, 0.85, 8)[:, None] * (q_goal - q0)
+        anchors = np.stack([numpy_ee_transform(q)[:3, 3] for q in line])
+
+        rows = []
+        for _ in range(n_obstacles):
+            a = anchors[rng.integers(len(anchors))]
+            d = rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            c = a + d * rng.uniform(*offset_range)
+            c[2] = np.clip(c[2], 0.05, 1.1)
+            dims = rng.uniform(0.06, 0.22, 3)
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            half = rng.uniform(0, np.pi) / 2
+            quat = np.concatenate([axis * np.sin(half), [np.cos(half)]])
+            row = np.concatenate([c, quat, dims])
+            if oracle.config_in_collision(q0, row[None]) \
+                    or oracle.config_in_collision(q_goal, row[None]):
+                continue
+            rows.append(row)
+        if len(rows) < n_obstacles // 2:
+            continue
+        oc = np.stack(rows)
+        # hardness filter: the straight joint-space line must be blocked
+        dense = q0[None, :] + np.linspace(0, 1, 24)[:, None] * (q_goal - q0)
+        if not any(oracle.config_in_collision(q, oc) for q in dense[1:-1]):
+            continue
+        problems.append(Problem(
+            target_pose=numpy_ee_transform(q_goal), q0=q0,
+            obstacle_config=oc, cuboid_config=oc,
+            cylinder_config=np.zeros((0, 9)),
+            scene_type="dresser", problem_type="task_oriented"))
     return PackedDataset.from_problems(problems)
 
 
