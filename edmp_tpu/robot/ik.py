@@ -75,7 +75,16 @@ def analytic_ik(target: jnp.ndarray, q7: jnp.ndarray):
     -------
     solutions : (8, 7) candidate joint configurations
     valid : (8,) bool — within joint limits AND FK residual < 1e-3.
+
+    The small-matrix algebra runs at HIGHEST matmul precision: on TPU the
+    default bf16 MXU passes push FK residuals past the 1e-3 gate, silently
+    invalidating EVERY branch (found in the round-3 protocol run).
     """
+    with jax.default_matmul_precision("highest"):
+        return _analytic_ik_impl(target, q7)
+
+
+def _analytic_ik_impl(target, q7):
     R_ee = target[:3, :3]
     p_ee = target[:3, 3]
 
@@ -185,13 +194,22 @@ def ik_goal_sweep(target, q7_seeds=None, *, rng=None):
 
 
 def numerical_ik(target, q_init, iters: int = 64, damping: float = 1e-3):
-    """Damped least-squares IK from a seed configuration (cross-check tool).
+    """Damped least-squares IK from a seed configuration (cross-check tool
+    and analytic-dropout fallback).
 
     Minimises position error + orientation (rotation-vector) error of the
-    10-frame EE transform.  Returns (q, pos_err).
+    10-frame EE transform.  Returns (q, err) with
+    ``err = ||dp|| + 0.1 * orientation_angle_rad`` — the orientation term is
+    the TRUE geodesic angle, not the small-angle skew residual (which
+    vanishes at a 180-degree wrist flip and once let flipped fallback goals
+    through a position-only gate).
     """
     target = jnp.asarray(target, jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        return _numerical_ik_impl(target, q_init, iters, damping)
 
+
+def _numerical_ik_impl(target, q_init, iters, damping):
     def residual(q):
         T = kin.ee_transform(q)
         dp = T[:3, 3] - target[:3, 3]
@@ -211,5 +229,8 @@ def numerical_ik(target, q_init, iters: int = 64, damping: float = 1e-3):
         return jnp.clip(q - dq, _LOWER, _UPPER)
 
     q = jax.lax.fori_loop(0, iters, body, jnp.asarray(q_init, jnp.float32))
-    err = jnp.linalg.norm(kin.ee_transform(q)[:3, 3] - target[:3, 3])
-    return q, err
+    T = kin.ee_transform(q)
+    pos_err = jnp.linalg.norm(T[:3, 3] - target[:3, 3])
+    dR = T[:3, :3] @ target[:3, :3].T
+    ang = jnp.arccos(jnp.clip((jnp.trace(dR) - 1.0) / 2.0, -1.0, 1.0))
+    return q, pos_err + 0.1 * ang

@@ -57,10 +57,18 @@ def _dh_rot_trans(a, d, alpha, q):
     return R, p
 
 
+# All kinematics contractions are tiny 3x3/3-vector products, but on TPU a
+# default-precision einsum runs as a bf16 MXU pass — enough error (~1e-3 in
+# positions) to break the analytic-IK FK-residual gate and the oracle's
+# geometry.  HIGHEST forces f32 accumulation at negligible cost (these ops
+# are a rounding error next to the UNet convs).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _compose(Ra, pa, Rb, pb):
     """(Ra,pa) . (Rb,pb): world transform composition."""
-    R = jnp.einsum("...ij,...jk->...ik", Ra, Rb)
-    p = pa + jnp.einsum("...ij,...j->...i", Ra, pb)
+    R = jnp.einsum("...ij,...jk->...ik", Ra, Rb, precision=_PREC)
+    p = pa + jnp.einsum("...ij,...j->...i", Ra, pb, precision=_PREC)
     return R, p
 
 
@@ -126,8 +134,8 @@ def link_box_frames(joints):
     Rj, pj = joint_frames(joints)
     Rs = _STATIC_FRAMES[:, :3, :3].astype(joints.dtype)
     ps = _STATIC_FRAMES[:, :3, 3].astype(joints.dtype)
-    R = jnp.einsum("...lij,ljk->...lik", Rj, Rs)
-    p = pj + jnp.einsum("...lij,lj->...li", Rj, ps)
+    R = jnp.einsum("...lij,ljk->...lik", Rj, Rs, precision=_PREC)
+    p = pj + jnp.einsum("...lij,lj->...li", Rj, ps, precision=_PREC)
     return R, p
 
 
@@ -141,7 +149,8 @@ def link_aabbs(joints, half_dims=None):
     if half_dims is None:
         half_dims = _LINK_HALF
     R, p = link_box_frames(joints)
-    ext = jnp.einsum("...lij,lj->...li", jnp.abs(R), half_dims.astype(joints.dtype))
+    ext = jnp.einsum("...lij,lj->...li", jnp.abs(R),
+                     half_dims.astype(joints.dtype), precision=_PREC)
     return p - ext, p + ext
 
 
