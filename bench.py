@@ -464,6 +464,8 @@ def main():
             "tflops_per_sec": head["tflops_per_sec"],
             "mfu_pct": head.get("mfu_pct"),
             "flops_per_scene": head["flops_per_scene_analytic"]}
+    if head.get("flops_xla_program_body"):
+        line["flops_xla_program_body"] = head["flops_xla_program_body"]
     print(json.dumps(line))
 
 
