@@ -70,7 +70,7 @@ def _device_peak_tflops():
 
 def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
                    use_pallas=False, batch=BATCH, no_guidance=False,
-                   guidance_engine="manual"):
+                   guidance_engine="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +136,7 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
 
 def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
             use_pallas=False, batch=BATCH, no_guidance=False,
-            guidance_engine="manual"):
+            guidance_engine="auto"):
     """Measure one configuration.  Returns a result dict with throughput and
     FLOP accounting."""
     import jax
@@ -376,8 +376,8 @@ def main():
                     help="bfloat16 conv/dense compute in the denoiser")
     ap.add_argument("--use-pallas", action="store_true",
                     help="fused Pallas Conv1dBlock kernels in the denoiser")
-    ap.add_argument("--guidance-engine", default="manual",
-                    choices=["manual", "pallas", "fast", "noop"],
+    ap.add_argument("--guidance-engine", default="auto",
+                    choices=["auto", "manual", "pallas", "fast", "noop"],
                     help="guidance-gradient engine (pallas = fused VMEM "
                     "kernel, costs/pallas_grad.py)")
     ap.add_argument("--no-guidance", action="store_true",
@@ -454,7 +454,7 @@ def main():
         metric += "_bf16"
     if head["use_pallas"]:
         metric += "_pallas"
-    if head.get("guidance_engine", "manual") != "manual":
+    if head.get("guidance_engine", "auto") not in ("auto", "manual"):
         metric += f"_g{head['guidance_engine']}"
     if head.get("no_guidance"):
         metric += "_noguide"

@@ -26,9 +26,19 @@ from edmp_tpu.diffusion.schedule import DiffusionSchedule
 
 
 def _resolve_guidance_fn(engine: str):
-    """Guidance-gradient engine slot: 'manual' (hand-derived XLA,
+    """Guidance-gradient engine slot: 'auto' (Pallas on TPU, lane-major XLA
+    elsewhere — the measured-best per backend), 'manual' (hand-derived XLA,
     grad_kernel.py), 'pallas' (fused VMEM-resident kernel, pallas_grad.py),
-    'fast' (jax.grad of the lane-major cost, fast_guide.py)."""
+    'fast' (jax.grad of the lane-major cost, fast_guide.py).
+
+    Measured on v5e (bench_details.json, dataset-aware O=8 padding): pallas
+    23.68 vs manual 22.56 scenes/s at S=17 — the VMEM-resident kernel wins
+    once the obstacle volume term shrinks; at the old O=24 padding XLA won.
+    """
+    if engine == "auto":
+        import jax
+
+        engine = "pallas" if jax.default_backend() == "tpu" else "manual"
     if engine == "pallas":
         from edmp_tpu.costs.pallas_grad import guidance_gradient_pallas
 
@@ -80,8 +90,9 @@ class PlannerConfig:
     ddim_steps: int = 32
     # guidance cadence for DDIM (every k-th coarse step; docs/ddim_cadence.md)
     ddim_guidance_period: int = 1
-    # gradient engine: 'manual' (XLA), 'pallas' (fused kernel), 'fast'
-    guidance_engine: str = "manual"
+    # gradient engine: 'auto' = Pallas kernel on TPU / lane-major XLA on
+    # CPU (measured-best per backend), or force 'manual'/'pallas'/'fast'
+    guidance_engine: str = "auto"
 
 
 class PlanResult(NamedTuple):
