@@ -43,6 +43,11 @@ def main(argv=None):
                     help="run the full MPiNets metric protocol per scene")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=32)
+    ap.add_argument("--ddim-guidance-period", type=int, default=1,
+                    help="apply guidance every k-th coarse DDIM step "
+                    "(docs/ddim_cadence.md: 2 matches DDPM quality)")
+    ap.add_argument("--guidance-engine", default="auto",
+                    choices=["auto", "manual", "pallas", "fast"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--weights-npz", default=None,
@@ -164,7 +169,9 @@ def main(argv=None):
                                traj_len=cfg.traj_len,
                                num_channels=cfg.num_channels,
                                sampler=args.sampler,
-                               ddim_steps=args.ddim_steps)
+                               ddim_steps=args.ddim_steps,
+                               ddim_guidance_period=args.ddim_guidance_period,
+                               guidance_engine=args.guidance_engine)
     sweep_cfg = SweepConfig(
         scenes_per_batch=args.scenes_per_batch,
         substeps=args.substeps,

@@ -69,7 +69,11 @@ from edmp_tpu.robot.self_collision import self_collision_free  # noqa: F401,E402
 
 
 class Evaluator:
-    """Per-trajectory + aggregate evaluation (mpinets/metrics.py protocol)."""
+    """Per-trajectory + aggregate evaluation (mpinets/metrics.py protocol),
+    including the reference's per-problem skip bookkeeping
+    (mpinets/metrics.py:487-491) and group save/aggregate
+    (:731-786): runs persist to JSON and any set of saved runs merges into
+    one aggregate via :meth:`from_files`."""
 
     def __init__(self, substeps: int = 8, dt: float = 0.08,
                  check_self_collision: bool = True):
@@ -77,6 +81,14 @@ class Evaluator:
         self.dt = dt
         self.check_self_collision = check_self_collision
         self.results: List[TrajectoryEvaluation] = []
+        # hard-failure bookkeeping: problems that could not be evaluated
+        # (e.g. no IK solution, planner exception) with a reason tag
+        self.skips: List[Dict[str, str]] = []
+
+    def record_skip(self, problem_id, reason: str) -> None:
+        """mpinets/metrics.py:487-491: count a problem the pipeline could
+        not evaluate instead of crashing or silently dropping it."""
+        self.skips.append({"problem_id": str(problem_id), "reason": reason})
 
     def evaluate_trajectory(self, trajectory: np.ndarray,
                             target_pose: np.ndarray,
@@ -172,8 +184,42 @@ class Evaluator:
                 "mean_ee_path_length": float(np.mean([r.ee_path_length for r in succ])),
                 "mean_planning_time": float(np.mean([r.planning_time for r in succ])),
             })
+        if self.skips:
+            out["num_skipped"] = len(self.skips)
+            reasons: Dict[str, int] = {}
+            for s in self.skips:
+                reasons[s["reason"]] = reasons.get(s["reason"], 0) + 1
+            out["skip_reasons"] = reasons
         return out
 
     def print_metrics(self) -> None:
         for k, v in self.metrics().items():
             print(f"{k:28s} {v:.3f}" if isinstance(v, float) else f"{k:28s} {v}")
+
+    # -- group save / aggregate (mpinets/metrics.py:731-786) ---------------
+
+    def save(self, path: str) -> None:
+        """Persist this run's per-trajectory results + skips as JSON."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump({
+                "results": [dataclasses.asdict(r) for r in self.results],
+                "skips": self.skips,
+            }, f)
+
+    @classmethod
+    def from_files(cls, paths, **kwargs) -> "Evaluator":
+        """Merge any number of saved runs into one aggregate evaluator —
+        the reference's group-aggregation workflow (save per split, report
+        the combined table)."""
+        import json
+
+        ev = cls(**kwargs)
+        for path in paths:
+            with open(path) as f:
+                data = json.load(f)
+            ev.results.extend(TrajectoryEvaluation(**r)
+                              for r in data.get("results", []))
+            ev.skips.extend(data.get("skips", []))
+        return ev

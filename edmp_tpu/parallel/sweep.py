@@ -75,6 +75,10 @@ class SceneResult:
     # ensemble claim made inspectable per scene
     winning_guide: Optional[int] = None
     per_guide_min_cost: Optional[Dict[str, float]] = None
+    # IK provenance: None = analytic sweep, 'dls' = damped-least-squares
+    # fallback, 'failed' = no valid goal found (scene counted as a skip in
+    # the evaluator, mpinets/metrics.py:487-491 semantics)
+    ik_fallback: Optional[str] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -299,7 +303,9 @@ def run_sweep(
         lambda c: c.reshape(c.shape[0], H, bpg).min(axis=2)) if H else None
 
     def _validate_and_record(item):
-        idx, best, goal, cost, dt, best_i, pg_min_row = item
+        idx, best, goal, cost, dt, best_i, pg_min_row, ik_fb = item
+        if evaluator is not None and ik_fb == "failed":
+            evaluator.record_skip(int(idx), "no_ik_solution")
         obs_cfg = dataset.scene_obstacle_config(int(idx))
         t_oracle = time.perf_counter()
         ok, _ = oracle.validate(best, obs_cfg)
@@ -345,6 +351,7 @@ def run_sweep(
             metrics=metrics,
             winning_guide=winning_guide,
             per_guide_min_cost=per_guide_cost,
+            ik_fallback=ik_fb,
         ))
         state.timings.append({"plan": float(dt), "oracle": oracle_dt})
 
@@ -396,6 +403,7 @@ def run_sweep(
         # out by construction) get a damped-least-squares solution instead
         # of a garbage masked-argmin goal.
         no_ik = ~np.asarray(jnp.any(valid, axis=1))
+        ik_status: Dict[int, str] = {}
         if no_ik.any():
             from edmp_tpu.robot.ik import numerical_ik
 
@@ -413,14 +421,17 @@ def run_sweep(
                 if best_err < 5e-3:
                     goals = goals.at[row, 0].set(best_q)
                     valid = valid.at[row, 0].set(True)
+                    ik_status[int(row)] = "dls"
+                else:
+                    ik_status[int(row)] = "failed"
         sub = jax.random.fold_in(jax.random.key(sweep_cfg.seed),
                                  int(chunk[0]) + scene_index_offset)
         res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
-        return chunk, res, time.perf_counter()
+        return chunk, res, time.perf_counter(), ik_status
 
     def drain(inflight):
         """Materialize one dispatched chunk and hand results to the oracle."""
-        chunk, res, t0 = inflight
+        chunk, res, t0, ik_status = inflight
         best = np.asarray(res.best)       # blocks until the device finishes
         goal_np = np.asarray(res.goal)
         best_idx = np.asarray(res.best_index)
@@ -431,7 +442,8 @@ def run_sweep(
         dt = (time.perf_counter() - t0) / max(len(chunk), 1)
         for row, scene_i in enumerate(chunk):
             record_host((scene_i, best[row], goal_np[row],
-                         pg_min[row].min(), dt, best_idx[row], pg_min[row]))
+                         pg_min[row].min(), dt, best_idx[row], pg_min[row],
+                         ik_status.get(row)))
 
     # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
     # overlap chunk k's device execution and oracle validation

@@ -89,3 +89,39 @@ def test_self_collision_screen_passes_home():
     # arm onto itself — the capsule model rightly flags it)
     home = np.array([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
     assert self_collision_free(home[None, :])
+
+
+def test_evaluator_save_aggregate_and_skips(tmp_path):
+    """Group save/aggregate + skip bookkeeping (mpinets/metrics.py:487-491,
+    731-786): two saved runs merge into one aggregate with combined skip
+    counts."""
+    import jax.numpy as jnp
+
+    from edmp_tpu import constants as C
+    from edmp_tpu.metrics.evaluator import Evaluator
+    from edmp_tpu.robot.kinematics import ee_transform
+
+    q = 0.5 * (np.asarray(C.FRANKA_LOWER) + np.asarray(C.FRANKA_UPPER))
+    T = np.asarray(ee_transform(jnp.asarray(q, jnp.float32)), np.float64)
+    traj = np.tile(q, (3, 1))
+
+    ev1 = Evaluator(substeps=2, check_self_collision=False)
+    ev1.evaluate_trajectory(traj, T, np.zeros((0, 10)))
+    ev1.record_skip(7, "no_ik_solution")
+    ev1.save(str(tmp_path / "run1.json"))
+
+    ev2 = Evaluator(substeps=2, check_self_collision=False)
+    ev2.evaluate_trajectory(traj, T, np.zeros((0, 10)))
+    ev2.evaluate_trajectory(traj, T + 0.5, np.zeros((0, 10)))  # a failure
+    ev2.record_skip(9, "planner_error")
+    ev2.save(str(tmp_path / "run2.json"))
+
+    agg = Evaluator.from_files(
+        [str(tmp_path / "run1.json"), str(tmp_path / "run2.json")],
+        substeps=2, check_self_collision=False)
+    m = agg.metrics()
+    assert m["num_problems"] == 3
+    assert m["num_skipped"] == 2
+    assert m["skip_reasons"] == {"no_ik_solution": 1, "planner_error": 1}
+    # success rate over the merged runs: 2 accurate poses, 1 off-target
+    assert m["success_rate"] == pytest.approx(100.0 * 2 / 3)
