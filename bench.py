@@ -329,6 +329,7 @@ def run_suite(reps):
         _alt_scenes(lambda s: ["--scenes", str(s)], (6, 7)),
         _alt_scenes(lambda s: ["--scenes", str(s)], (9, 10)),
         _alt_scenes(lambda s: ["--scenes", str(s)], (17, 19)),
+        _alt_scenes(lambda s: ["--scenes", str(s)], (21, 25)),
         # BASELINE 'single scene, 1000+ trajectories'
         [["--scenes", "1", "--batch", "1200"],
          ["--scenes", "1", "--batch", "1216"]],
@@ -362,9 +363,10 @@ def run_suite(reps):
 
 def main():
     ap = argparse.ArgumentParser()
-    # default fold = the measured S-scaling optimum (bench_details.json:
-    # throughput rises monotonically to the S~17 flat top; VERDICT r2 #6)
-    ap.add_argument("--scenes", type=int, default=17)
+    # default fold = the measured S-scaling optimum: 21.4 (S=6) -> 23.7
+    # (S=17) -> 24.39 (S=21) == 24.39 (S=25) -> 23.2 (S=29) -> 23.0 (S=33);
+    # the flat top is S=21-25 and S=21 has the smaller working set
+    ap.add_argument("--scenes", type=int, default=21)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--measure-baseline", action="store_true")

@@ -42,6 +42,10 @@ _LAZY = {
     "run_sweep": ("edmp_tpu.parallel.sweep", "run_sweep"),
     "SweepConfig": ("edmp_tpu.parallel.sweep", "SweepConfig"),
     "TrajectoryOracle": ("edmp_tpu.validation.oracle", "TrajectoryOracle"),
+    # MPiNets policy baseline (L11)
+    "MotionPolicyNetwork": ("edmp_tpu.models.policy", "MotionPolicyNetwork"),
+    "MPiNetsPointNet": ("edmp_tpu.models.pointnet", "MPiNetsPointNet"),
+    "RobotPointSampler": ("edmp_tpu.robot.point_sampler", "RobotPointSampler"),
 }
 
 

@@ -28,9 +28,10 @@ def main(argv=None):
     ap.add_argument("--dataset-npz", default=None)
     ap.add_argument("--synthetic", type=int, default=None,
                     help="run N synthetic scenes instead of a dataset")
-    ap.add_argument("--scenes-per-batch", type=int, default=8,
-                    help="scene fold size S (8+ = measured-optimal on v5e, "
-                    "bench_details.json S-scaling)")
+    ap.add_argument("--scenes-per-batch", type=int, default=16,
+                    help="scene fold size S (measured flat top on v5e is "
+                    "S=21-25; 16 balances throughput vs partial-batch "
+                    "padding — docs/roofline.md S-scaling)")
     ap.add_argument("--max-scenes", type=int, default=None)
     ap.add_argument("--scene-types", nargs="*", default=None,
                     help="override cfg scene types")

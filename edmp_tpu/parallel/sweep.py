@@ -42,12 +42,12 @@ from edmp_tpu.validation.oracle import TrajectoryOracle
 
 @dataclasses.dataclass
 class SweepConfig:
-    # 8+ is the measured-optimal fold on v5e: scenes/s rises monotonically
-    # S=7 -> 17 (21.1 -> 21.9, bench_details.json; docs/roofline.md
-    # implication 1 — larger folds fill the small-L MXU tiles), so the
-    # production default sits at the start of the flat top, not the worst
-    # measured point.
-    scenes_per_batch: int = 8
+    # measured S-scaling optimum on v5e (docs/roofline.md): throughput rises
+    # 21.4 (S=6) -> 23.7 (S=17) to a flat top at S=21-25 (24.4 scenes/s),
+    # then declines (23.2 at S=29).  16 sits just under the top while
+    # keeping partial-batch padding waste moderate for small sweeps; pass
+    # 21 for long production sweeps.
+    scenes_per_batch: int = 16
     # 8 is the convergence point of the substeps sweep in
     # docs/oracle_calibration.md (sparse-corpus flips reach 0 there);
     # TrajectoryOracle and the CLI share this default.

@@ -216,6 +216,17 @@ def test_construct_mixed_point_cloud_on_surfaces(rng):
     np.testing.assert_allclose(sd, 0.0, atol=1e-5)
 
 
+def test_train_policy_cli_smoke(tmp_path):
+    from edmp_tpu.cli.train_policy import main
+
+    rc = main(["--steps", "2", "--batch", "1", "--robot-points", "64",
+               "--obstacle-points", "64", "--log-every", "1",
+               "--validate-every", "2", "--rollout-length", "1",
+               "--ckpt-dir", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "policy_params.npz").exists()
+
+
 def test_loss_container_runs(rng):
     batch = {k: jnp.asarray(v) for k, v in policy_batch(
         rng, 2, num_robot_points=64, num_obstacle_points=128,
