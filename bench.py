@@ -70,7 +70,7 @@ def _device_peak_tflops():
 
 def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
                    use_pallas=False, batch=BATCH, no_guidance=False,
-                   guidance_engine="auto"):
+                   guidance_engine="auto", ddim_guidance_period=1):
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +108,7 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
     cfg = P.PlannerConfig(
         batch_size=batch, traj_len=TRAJ_LEN, sampler=sampler,
         ddim_steps=ddim_steps,
+        ddim_guidance_period=ddim_guidance_period,
         guidance_engine=guidance_engine,
         # guidance_min_t above T disables every guided step: the A/B that
         # isolates the guidance engine's share of the fused scan
@@ -136,7 +137,7 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
 
 def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
             use_pallas=False, batch=BATCH, no_guidance=False,
-            guidance_engine="auto"):
+            guidance_engine="auto", ddim_guidance_period=1):
     """Measure one configuration.  Returns a result dict with throughput and
     FLOP accounting."""
     import jax
@@ -146,7 +147,7 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
 
     model, sch, cfg, args = build_workload(
         n_scenes, sampler, ddim_steps, bf16, use_pallas, batch, no_guidance,
-        guidance_engine)
+        guidance_engine, ddim_guidance_period)
     fn = P.make_batched_plan_fn(model, sch, cfg)
 
     # XLA cost analysis needs the AOT lower().compile() path, which has been
@@ -179,7 +180,7 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
     scenes_per_sec = n_scenes * reps / dt
     n_steps = T_STEPS if sampler == "ddpm" else ddim_steps
     guided_steps = (len(range(6, T_STEPS + 1, 2)) if sampler == "ddpm"
-                    else n_steps)
+                    else -(-n_steps // max(ddim_guidance_period, 1)))
     if no_guidance:
         guided_steps = 0
     analytic = plan_flops_analytic(
@@ -195,6 +196,9 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
         "scenes": n_scenes, "batch": batch, "reps": reps,
         "sampler": sampler, "bf16": bf16, "use_pallas": use_pallas,
         "no_guidance": no_guidance, "guidance_engine": guidance_engine,
+        **({"ddim_steps": ddim_steps,
+            "ddim_guidance_period": ddim_guidance_period}
+           if sampler == "ddim" else {}),
         "scenes_per_sec": round(scenes_per_sec, 4),
         "sec_per_scene": round(1.0 / scenes_per_sec, 5),
         "flops_per_scene_analytic": round(analytic / n_scenes),
@@ -374,6 +378,9 @@ def main():
                     help="run the full matrix and write bench_details.json")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=32)
+    ap.add_argument("--ddim-guidance-period", type=int, default=1,
+                    help="guide every k-th DDIM coarse step (2 matches "
+                    "DDPM-255 quality, docs/ddim_cadence.md)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 conv/dense compute in the denoiser")
     ap.add_argument("--use-pallas", action="store_true",
@@ -405,7 +412,8 @@ def main():
     if args.oneshot_json:
         out = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
                       args.bf16, args.use_pallas, args.batch,
-                      args.no_guidance, args.guidance_engine)
+                      args.no_guidance, args.guidance_engine,
+                      args.ddim_guidance_period)
         print(json.dumps(out))
         return
 
@@ -420,7 +428,8 @@ def main():
     elif args.direct:
         head = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
                        args.bf16, args.use_pallas, args.batch,
-                       args.no_guidance, args.guidance_engine)
+                       args.no_guidance, args.guidance_engine,
+                       args.ddim_guidance_period)
     else:
         # default (driver) path: watchdog + fresh-shape fallback so a
         # poisoned program hash cannot hang the round's bench record
@@ -428,6 +437,7 @@ def main():
             f = ["--scenes", str(s), "--batch", str(args.batch),
                  "--sampler", args.sampler, "--ddim-steps",
                  str(args.ddim_steps),
+                 "--ddim-guidance-period", str(args.ddim_guidance_period),
                  "--guidance-engine", args.guidance_engine]
             if args.bf16:
                 f.append("--bf16")
