@@ -18,6 +18,20 @@ import numpy as np
 _BIG = 1.0e8
 
 
+def _safe_norm(x, axis=-1):
+    """L2 norm with a well-defined (zero) gradient at ``x == 0``.
+
+    ``jnp.linalg.norm`` backpropagates 0/0 = NaN at the origin — hit
+    whenever a query point lies strictly INSIDE a primitive (the clamped
+    outside-distance vector is exactly zero there), which poisons any
+    training objective differentiated through the SDF (e.g. the policy
+    collision hinge).  Values are bit-identical to the plain norm.
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    positive = sq > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
+
+
 def _quat_xyzw_rotmats(quats):
     from edmp_tpu.costs.obstacles import _quat_xyzw_to_matrix
 
@@ -39,7 +53,7 @@ class Spheres(NamedTuple):
 
     def sdf_all(self, points):
         """points (..., 3) -> (..., M) signed distance to each sphere."""
-        d = jnp.linalg.norm(points[..., None, :] - self.centers, axis=-1)
+        d = _safe_norm(points[..., None, :] - self.centers)
         sd = d - self.radii
         return jnp.where(self.mask, sd, _BIG)
 
@@ -70,7 +84,7 @@ class Cuboids(NamedTuple):
         local = jnp.einsum("mij,...mj->...mi", self.inv_rot,
                            points[..., None, :] - self.centers)
         q = jnp.abs(local) - self.half
-        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        outside = _safe_norm(jnp.maximum(q, 0.0))
         inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
         return jnp.where(self.mask, outside + inside, _BIG)
 
@@ -102,10 +116,10 @@ class Cylinders(NamedTuple):
         """Exact capped-cylinder SDF (axis = local z)."""
         local = jnp.einsum("mij,...mj->...mi", self.inv_rot,
                            points[..., None, :] - self.centers)
-        dr = jnp.linalg.norm(local[..., :2], axis=-1) - self.radii
+        dr = _safe_norm(local[..., :2]) - self.radii
         dz = jnp.abs(local[..., 2]) - self.half_h
-        outside = jnp.linalg.norm(
-            jnp.maximum(jnp.stack([dr, dz], axis=-1), 0.0), axis=-1)
+        outside = _safe_norm(
+            jnp.maximum(jnp.stack([dr, dz], axis=-1), 0.0))
         inside = jnp.minimum(jnp.maximum(dr, dz), 0.0)
         return jnp.where(self.mask, outside + inside, _BIG)
 

@@ -138,6 +138,19 @@ def test_collision_loss_hinge_semantics():
                                0.53, atol=1e-5)  # margin 0.03 - (-0.5)
 
 
+def test_collision_loss_gradient_finite_inside():
+    """A point strictly inside a primitive used to backprop sqrt(0) = NaN
+    through the SDF's clamped outside-distance norm — the bug that NaN'd
+    policy training the moment a robot point penetrated an obstacle."""
+    batch = _unit_scene_batch()
+    cub, cyl = scene_primitives(batch)
+    pts = jnp.asarray([[[0.0, 0.0, 0.0],        # box center (worst case)
+                        [0.1, 0.0, 0.2],        # inside, off-center
+                        [3.0, 0.0, 0.0]]])      # outside
+    g = jax.grad(lambda p: collision_loss(p, cub, cyl))(pts)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_scene_primitives_mask_padded_rows():
     from edmp_tpu.costs import sdf as S
 
