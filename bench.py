@@ -178,9 +178,16 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
     dt = time.perf_counter() - t0
 
     scenes_per_sec = n_scenes * reps / dt
-    n_steps = T_STEPS if sampler == "ddpm" else ddim_steps
-    guided_steps = (len(range(6, T_STEPS + 1, 2)) if sampler == "ddpm"
-                    else -(-n_steps // max(ddim_guidance_period, 1)))
+    if sampler == "ddpm":
+        n_steps = T_STEPS
+        guided_steps = len(range(6, T_STEPS + 1, 2))
+    else:
+        # the sampler's tau subsequence collapses duplicates
+        # (np.unique(round(linspace))), so the real step count K can be
+        # below --ddim-steps as it approaches T; count FLOPs over K
+        n_steps = len(np.unique(
+            np.round(np.linspace(T_STEPS, 1, ddim_steps))))
+        guided_steps = -(-n_steps // max(ddim_guidance_period, 1))
     if no_guidance:
         guided_steps = 0
     analytic = plan_flops_analytic(

@@ -49,6 +49,13 @@ def main(argv=None):
                     "(docs/ddim_cadence.md: 2 matches DDPM quality)")
     ap.add_argument("--guidance-engine", default="auto",
                     choices=["auto", "manual", "pallas", "fast"])
+    ap.add_argument("--assist-sc", type=float, default=None,
+                    help="enable the self-collision capsule-hinge guidance "
+                    "term at this weight for ALL samples (costs/assist.py; "
+                    "calibration: docs/assist_study.md)")
+    ap.add_argument("--assist-jl", type=float, default=None,
+                    help="enable the joint-limit hinge guidance term at "
+                    "this weight for ALL samples")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--weights-npz", default=None,
@@ -83,6 +90,13 @@ def main(argv=None):
     cfg = BenchmarkConfig.from_yaml(args.cfg_path)
     guides = load_guide_set(cfg.guide_path, cfg.guide_ids)
     gp, _ = pack_ensemble(guides, cfg.batch_size_per_guide, cfg.T)
+    if args.assist_sc is not None or args.assist_jl is not None:
+        B = cfg.total_batch_size
+        gp = gp._replace(
+            self_collision_weight=(jnp.full(B, args.assist_sc, jnp.float32)
+                                   if args.assist_sc else None),
+            joint_limit_weight=(jnp.full(B, args.assist_jl, jnp.float32)
+                                if args.assist_jl else None))
 
     # dataset resolution FIRST (cheap) — model init/compile is minutes on a
     # tunneled chip, so fail fast on a missing dataset

@@ -40,7 +40,7 @@ def main(argv=None):
 
     from edmp_tpu.data.pointcloud import policy_batch
     from edmp_tpu.models.policy import (init_policy, make_train_step,
-                                        validate_policy)
+                                        make_validate_fn, save_policy_params)
 
     rng = np.random.default_rng(args.seed)
     n_points = args.robot_points + args.obstacle_points
@@ -56,6 +56,19 @@ def main(argv=None):
     state = init_state(params)
     step = jax.jit(train_step)
 
+    # validation: the rollout fn is built (and jitted) ONCE, and runs on a
+    # HELD-OUT batch from a separate rng stream — not the current training
+    # batch, which would make avg_target_error an in-sample metric
+    val_fn = None
+    val_batch = None
+    if args.validate_every:
+        val_fn = make_validate_fn(model, rollout_length=args.rollout_length,
+                                  num_robot_points=args.robot_points)
+        val_rng = np.random.default_rng((args.seed, 0xA1))
+        val_batch = {k: jnp.asarray(v) for k, v in policy_batch(
+            val_rng, args.batch, num_robot_points=args.robot_points,
+            num_obstacle_points=args.obstacle_points).items()}
+
     t0 = time.time()
     window = []
     for i in range(args.steps):
@@ -70,11 +83,8 @@ def main(argv=None):
                   f"{rate:,.1f} samples/s", flush=True)
             window.clear()
             t0 = time.time()
-        if args.validate_every and (i + 1) % args.validate_every == 0:
-            metrics = validate_policy(
-                model, state.params, batch,
-                rollout_length=args.rollout_length,
-                num_robot_points=args.robot_points)
+        if val_fn is not None and (i + 1) % args.validate_every == 0:
+            metrics = val_fn(state.params, val_batch)
             print(f"  validate: target_err "
                   f"{float(metrics['avg_target_error']):.4f} m, "
                   f"collision_rate "
@@ -84,11 +94,8 @@ def main(argv=None):
         import os
 
         os.makedirs(args.ckpt_dir, exist_ok=True)
-        flat = {jax.tree_util.keystr(path): np.asarray(leaf)
-                for path, leaf in
-                jax.tree_util.tree_leaves_with_path(state.params)}
         out = os.path.join(args.ckpt_dir, "policy_params.npz")
-        np.savez(out, **flat)
+        save_policy_params(state.params, out)
         print(f"done; params -> {out}")
     return 0
 

@@ -31,6 +31,11 @@ class GuideConfig:
     schedule_type: str      # 'constant' | 'varying'
     scale_val: float
     volume_trust_region: float
+    # assist terms beyond the reference (costs/assist.py; optional YAML keys
+    # — absent in the reference's guide files, which keeps parity): per-step
+    # gradient weights for the self-collision and joint-limit hinges
+    self_collision_weight: float = 0.0
+    joint_limit_weight: float = 0.0
 
     @classmethod
     def from_yaml(cls, path: str) -> "GuideConfig":
@@ -49,6 +54,8 @@ class GuideConfig:
             schedule_type=h["guidance_schedule"]["type"],
             scale_val=float(h["guidance_schedule"]["scale_val"]),
             volume_trust_region=float(h["volume_trust_region"]),
+            self_collision_weight=float(h.get("self_collision_weight", 0.0)),
+            joint_limit_weight=float(h.get("joint_limit_weight", 0.0)),
         )
 
 
@@ -77,6 +84,8 @@ def pack_ensemble(guides: Sequence[GuideConfig], batch_per_guide: int,
     gnorm = np.zeros(B)
     sched = np.zeros((B, T))
     vtr = np.zeros(B)
+    sc_w = np.zeros(B)
+    jl_w = np.zeros(B)
 
     for i, g in enumerate(guides):
         rows = slice(i * batch_per_guide, (i + 1) * batch_per_guide)
@@ -95,15 +104,23 @@ def pack_ensemble(guides: Sequence[GuideConfig], batch_per_guide: int,
         else:
             sched[rows, :] = g.scale_val
         vtr[rows] = g.volume_trust_region
+        sc_w[rows] = getattr(g, "self_collision_weight", 0.0)
+        jl_w[rows] = getattr(g, "joint_limit_weight", 0.0)
 
     import jax.numpy as jnp
 
+    # assist weights pack to None (static no-op) when the whole ensemble
+    # leaves them at 0 — the reference-parity program is then unchanged
     gp = GuideParams(
         clearance=jnp.asarray(clearance, jnp.float32),
         expansion=jnp.asarray(expansion, jnp.float32),
         guidance_method=jnp.asarray(method, jnp.float32),
         grad_norm=jnp.asarray(gnorm, jnp.float32),
         guidance_schedule=jnp.asarray(sched, jnp.float32),
+        self_collision_weight=(jnp.asarray(sc_w, jnp.float32)
+                               if sc_w.any() else None),
+        joint_limit_weight=(jnp.asarray(jl_w, jnp.float32)
+                            if jl_w.any() else None),
     )
     return gp, vtr
 

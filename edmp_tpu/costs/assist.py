@@ -1,0 +1,185 @@
+"""Self-collision + joint-limit "assist" guidance terms.
+
+The reference's guide ensemble carries only OBSTACLE-collision costs
+(lib/guide.py:354-537); nothing steers samples away from self-collision or
+joint-limit violations, because its expert-data prior (MPiNets trajectories)
+rarely produces either.  A from-scratch prior does: on the round-3 128-scene
+protocol corpus 65/128 strict failures were self-collisions and 12 joint
+limits (VERDICT r3, failure definitions mpinets/metrics.py:278-291,334-345).
+
+These two additional differentiable cost terms close that gap:
+
+  * self-collision: hinge on the inscribed-capsule clearance model of
+    :mod:`edmp_tpu.robot.self_collision` — the same geometry the evaluator
+    penalizes, made jittable/differentiable here (JAX segment distances
+    through batched FK).
+  * joint limits: quadratic hinge outside the sampler's joint limits (the
+    evaluator's violation check, mpinets/metrics.py:334-345).  Evaluated on
+    the UNCLIPPED state: the sampler clips only the copy fed to the obstacle
+    guide (diffusion/diffusion.py:328-341), so the emitted trajectory can
+    sit outside the limits unless something pushes it back.
+
+Both are per-sample weighted through :class:`GuideParams`
+(``self_collision_weight`` / ``joint_limit_weight``); weight 0 — the
+default, and the reference-parity setting — compiles to the identical
+program as before (the branch is statically elided).  Measured A/B on the
+protocol corpus: docs/assist_study.md.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edmp_tpu import constants as C
+from edmp_tpu.robot import kinematics as kin
+from edmp_tpu.robot.self_collision import (CAPSULE_HALF_LEN, CAPSULE_RADIUS,
+                                           SELF_PAIRS, _AXIS)
+
+_PI = np.asarray([p[0] for p in SELF_PAIRS])
+_PJ = np.asarray([p[1] for p in SELF_PAIRS])
+_RADIUS_SUM = (CAPSULE_RADIUS[_PI] + CAPSULE_RADIUS[_PJ]).astype(np.float32)
+_AXIS_ONEHOT = np.eye(3, dtype=np.float32)[_AXIS]          # (9, 3)
+_HALF_LEN = CAPSULE_HALF_LEN.astype(np.float32)
+
+# limits the evaluator enforces (metrics/evaluator.py:128-130)
+_LOWER = np.asarray(C.JOINT_LIMITS_LOWER, np.float32)
+_UPPER = np.asarray(C.JOINT_LIMITS_UPPER, np.float32)
+
+# hinge margins: costs activate BEFORE the hard boundary so gradients exist
+# while the sample is still (barely) feasible.  3 cm mirrors the reference's
+# collision hinge margin (mpinets/loss.py:47-94); the joint margin is small —
+# the evaluator's check is exact (tolerance 1e-9 rad).
+DEFAULT_SC_MARGIN = 0.03
+DEFAULT_JL_MARGIN = 0.01
+
+
+def _segment_distance(a0, a1, b0, b1):
+    """Min distance between segments [a0,a1], [b0,b1]; (..., 3) -> (...).
+
+    Same clamped closed form as robot/self_collision.segment_distance
+    (Ericson 5.1.9), with an eps-regularised norm so jax.grad stays finite
+    at contact.
+    """
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * r, axis=-1)
+    c = jnp.sum(d1 * r, axis=-1)
+    b = jnp.sum(d1 * d2, axis=-1)
+    eps = 1e-12
+    a_s = jnp.maximum(a, eps)
+    e_s = jnp.maximum(e, eps)
+    denom = a * e - b * b
+    s = jnp.where(denom > eps,
+                  jnp.clip((b * f - c * e) / jnp.maximum(denom, eps), 0.0, 1.0),
+                  0.0)
+    t = jnp.clip((b * s + f) / e_s, 0.0, 1.0)
+    s = jnp.clip((b * t - c) / a_s, 0.0, 1.0)
+    pa = a0 + s[..., None] * d1
+    pb = b0 + t[..., None] * d2
+    diff = pa - pb
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + eps)
+
+
+def capsule_clearances(joints):
+    """Per-pair capsule surface clearance, (..., 7) -> (..., P).
+
+    Negative entries are self-collisions.  JAX twin of
+    robot/self_collision.min_pair_clearance (same capsules, same pairs),
+    batched over arbitrary leading dims and differentiable.
+    """
+    R, p = kin.link_box_frames(joints)                     # (..., 9, 3, 3/3)
+    axis_dir = jnp.einsum("...lij,lj->...li", R,
+                          jnp.asarray(_AXIS_ONEHOT, joints.dtype),
+                          precision=jax.lax.Precision.HIGHEST)
+    off = axis_dir * jnp.asarray(_HALF_LEN, joints.dtype)[:, None]
+    a0, a1 = p - off, p + off                              # (..., 9, 3)
+    d = _segment_distance(a0[..., _PI, :], a1[..., _PI, :],
+                          a0[..., _PJ, :], a1[..., _PJ, :])
+    return d - jnp.asarray(_RADIUS_SUM, joints.dtype)
+
+
+def self_collision_cost(joints, margin: float = DEFAULT_SC_MARGIN):
+    """Sum of squared capsule-clearance hinge violations.
+
+    joints: (..., 7); scalar.  Quadratic hinge: smooth at the activation
+    boundary, growing gradient with penetration depth.
+    """
+    pen = jnp.maximum(margin - capsule_clearances(joints), 0.0)
+    return jnp.sum(pen * pen)
+
+
+def joint_limit_cost(joints, margin: float = DEFAULT_JL_MARGIN):
+    """Sum of squared joint-limit hinge violations (evaluator limits)."""
+    lo = jnp.asarray(_LOWER, joints.dtype) + margin
+    hi = jnp.asarray(_UPPER, joints.dtype) - margin
+    over = jnp.maximum(joints - hi, 0.0)
+    under = jnp.maximum(lo - joints, 0.0)
+    return jnp.sum(over * over + under * under)
+
+
+def has_assist(guide) -> bool:
+    """Static: does this ensemble carry any assist term?
+
+    ``None`` weights are empty pytree nodes (they survive jit tracing as
+    python None), so this check is compile-time: a guide with both weights
+    None produces the byte-identical program as before the fields existed.
+    Array weights count as active even when their runtime values are zero.
+    """
+    return (guide.self_collision_weight is not None
+            or guide.joint_limit_weight is not None)
+
+
+# trust cap on the self-collision step: bounds the per-waypoint joint-angle
+# move per application so a large hinge gradient (deep penetration x large
+# weight) cannot overshoot into oscillating divergence
+SC_STEP_CAP = 0.05  # radians
+
+
+def make_assist_update(guide, sc_margin: float = DEFAULT_SC_MARGIN,
+                       sc_step_cap: float = SC_STEP_CAP):
+    """Build the per-step assist update ``x -> x`` for the sampler, or None.
+
+    Applied to the UNCLIPPED interior waypoints at every guided step, after
+    the obstacle-gradient update (the guidance_schedule scale does NOT apply
+    — assist terms are a capability beyond the reference with their own
+    calibration, docs/assist_study.md).  Two updates, both divergence-safe:
+
+      * joint limits: PARTIAL PROJECTION ``x -= w * (x - clip(x))`` — the
+        gradient step on ``1/2 |x - clip(x)|^2``, a contraction for every
+        w in (0, 1] (weights clamp to that range); w = 1 is exact
+        projection onto the limit box.
+      * self-collision: gradient step on the capsule-clearance hinge with a
+        per-element trust cap of ``sc_step_cap`` radians, so deep
+        penetrations move steadily instead of overshooting.
+    """
+    if not has_assist(guide):
+        return None
+    sc_w = guide.self_collision_weight
+    jl_w = guide.joint_limit_weight
+
+    if sc_w is not None:
+        def sc_cost_sum(interior):
+            pen = jnp.maximum(sc_margin - capsule_clearances(interior), 0.0)
+            return jnp.sum(pen * pen)
+
+        sc_grad = jax.grad(sc_cost_sum)
+
+    def update(x):
+        interior = x[:, 1:-1, :]
+        step = jnp.zeros_like(interior)
+        if jl_w is not None:
+            w = jnp.clip(jl_w, 0.0, 1.0)[:, None, None]
+            lo = jnp.asarray(_LOWER, interior.dtype)
+            hi = jnp.asarray(_UPPER, interior.dtype)
+            step = step + w * (interior - jnp.clip(interior, lo, hi))
+        if sc_w is not None:
+            g = sc_w[:, None, None] * sc_grad(interior)
+            step = step + jnp.clip(g, -sc_step_cap, sc_step_cap)
+        return x.at[:, 1:-1, :].add(-step)
+
+    return update

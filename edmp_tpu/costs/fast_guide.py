@@ -153,6 +153,10 @@ def guidance_gradient_fast(joints, start, goal, obs_lo, obs_hi, guide):
     incl. whole-tensor grad normalisation, lib/guide.py:627-629)."""
     g = jax.grad(blended_cost_fast)(joints, start, goal, obs_lo, obs_hi,
                                     guide.guidance_method)
-    norm = jnp.linalg.norm(g.reshape(-1))
+    # zero-gradient guard: a scene the batch never touches gives ||g|| = 0
+    # and g/0 = NaN would poison ALL samples through 0*NaN (the reference
+    # NaNs only its grad_norm rows there, lib/guide.py:627-629 — equally
+    # useless; g = 0 is the only sensible value either way)
+    norm = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-30)
     gn = guide.grad_norm[:, None, None]
     return (1.0 - gn) * g + gn * (g / norm)

@@ -284,6 +284,7 @@ def guidance_gradient_manual(joints, start, goal, obs_lo, obs_hi, guide):
     option (lib/guide.py:627-629)."""
     g = manual_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
                                  guide.guidance_method)
-    norm = jnp.linalg.norm(g.reshape(-1))
+    # zero-gradient guard (see fast_guide.guidance_gradient_fast)
+    norm = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-30)
     gn = guide.grad_norm[:, None, None]
     return (1.0 - gn) * g + gn * (g / norm)

@@ -42,6 +42,13 @@ class GuideParams(NamedTuple):
     guidance_method: jnp.ndarray    # (B,)  0 = intersection, 1 = swept volume
     grad_norm: jnp.ndarray          # (B,)  0/1: whole-tensor gradient normalisation
     guidance_schedule: jnp.ndarray  # (B, T) gradient step scale per step
+    # assist terms beyond the reference (costs/assist.py): per-sample step
+    # sizes for the self-collision capsule hinge and the joint-limit hinge.
+    # None (the default) statically elides the terms — None is an EMPTY
+    # pytree node, so it survives jit tracing as-is and the reference-parity
+    # program is byte-identical to a GuideParams without these fields.
+    self_collision_weight: jnp.ndarray | None = None   # (B,) or None
+    joint_limit_weight: jnp.ndarray | None = None      # (B,) or None
 
     @property
     def batch(self) -> int:
@@ -135,7 +142,8 @@ def guidance_gradient(joints, start, goal, obs_lo, obs_hi, guide: GuideParams):
     """
     g = jax.grad(blended_cost)(joints, start, goal, obs_lo, obs_hi,
                                guide.guidance_method)
-    norm = jnp.linalg.norm(g.reshape(-1))
+    # zero-gradient guard (see fast_guide.guidance_gradient_fast)
+    norm = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-30)
     gn = guide.grad_norm[:, None, None]
     return (1.0 - gn) * g + gn * (g / norm)
 

@@ -112,6 +112,7 @@ def guidance_gradient_pallas(joints, start, goal, obs_lo, obs_hi, guide,
         interpret = jax.default_backend() != "tpu"
     g = pallas_guidance_gradient(joints, start, goal, obs_lo, obs_hi,
                                  guide.guidance_method, interpret=interpret)
-    norm = jnp.linalg.norm(g.reshape(-1))
+    # zero-gradient guard (see fast_guide.guidance_gradient_fast)
+    norm = jnp.maximum(jnp.linalg.norm(g.reshape(-1)), 1e-30)
     gn = guide.grad_norm[:, None, None]
     return (1.0 - gn) * g + gn * (g / norm)

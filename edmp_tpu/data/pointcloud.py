@@ -78,7 +78,11 @@ def construct_mixed_point_cloud(cuboid_config: np.ndarray,
         samplers.append(lambda n, row=row: _cylinder_surface(
             row[:3], row[3:7], row[7], row[8], n, rng))
     if not samplers:
-        return np.zeros((num_points, 4), np.float32)
+        # reference returns an empty array for empty scenes
+        # (mpinets/geometry.py:571-608); num_points zero-rows would plant
+        # phantom points at the origin carrying segmentation id 0 — the
+        # ROBOT's id.  Callers needing fixed shapes must skip empty scenes.
+        return np.zeros((0, 4), np.float32)
     areas = np.asarray(areas)
     props = areas / max(areas.sum(), 1e-12)
     ids = rng.permutation(len(samplers)) + 1

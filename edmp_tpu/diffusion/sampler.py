@@ -71,7 +71,9 @@ def _make_lane_guided_update(scene, guide, start, goal, batch_size,
         gq = [g[1:-1] for g in gq]                   # interior rows, (N, B)
         # whole-tensor grad-norm blend (lib/guide.py:627-629), same float-op
         # order as the reference-parity engine: (1-gn)*g + gn*(g/norm)
-        norm = jnp.sqrt(sum(jnp.sum(g * g) for g in gq))
+        # zero-gradient guard: ||g|| = 0 (scene never touched) must not
+        # NaN-poison the whole batch via 0 * (g/0)
+        norm = jnp.maximum(jnp.sqrt(sum(jnp.sum(g * g) for g in gq)), 1e-30)
         scale = schedule_t[t - 1][None, :]
         gn_r = gn[None, :]
         g = jnp.stack([scale * ((1.0 - gn_r) * g + gn_r * (g / norm))
@@ -84,6 +86,22 @@ def _make_lane_guided_update(scene, guide, start, goal, batch_size,
 def clip_joints(joints):
     """Clip to the sampler's joint limits (diffusion/diffusion.py:280-298)."""
     return jnp.clip(joints, _LOWER, _UPPER)
+
+
+def _with_assist(guided_update, guide):
+    """Chain the self-collision/joint-limit assist update (costs/assist.py)
+    onto a guided step.  No-assist ensembles (both weights None) return the
+    original function — the compiled program is unchanged."""
+    from edmp_tpu.costs.assist import make_assist_update
+
+    assist = make_assist_update(guide)
+    if assist is None:
+        return guided_update
+
+    def update(x, t):
+        return assist(guided_update(x, t))
+
+    return update
 
 
 def _pin_endpoints(x, start, goal):
@@ -176,6 +194,8 @@ def denoise_guided(
             g = guidance_fn(interior, start, goal, obs_lo, obs_hi, guide)
             scale = schedule_t[t - 1][:, None, None]
             return x.at[:, 1:-1, :].add(-scale * g)
+
+    guided_update = _with_assist(guided_update, guide)
 
     if guidance_period == 2:
         # Fast path: the guided timesteps (even t >= guidance_min_t) are
@@ -291,6 +311,8 @@ def denoise_guided_ddim(
                             guide)  # includes the grad_norm option
             scale = schedule_t[t - 1][:, None, None]
             return x.at[:, 1:-1, :].add(-scale * g)
+
+    guided_update = _with_assist(guided_update, guide)
 
     def step(x, k):
         t = taus[k]

@@ -235,28 +235,78 @@ def make_rollout_fn(model: MotionPolicyNetwork, num_robot_points: int = 1024,
     return roll
 
 
+def make_validate_fn(model: MotionPolicyNetwork, rollout_length: int = 69,
+                     num_robot_points: int = 1024, spheres_per_link: int = 4):
+    """Build-once, jitted rollout validation (mpinets/model.py:252-318).
+
+    Returns ``validate(params, batch) -> {avg_target_error,
+    avg_collision_rate}``.  Built OUTSIDE training loops so the 69-step scan
+    traces once instead of per call (it also produces rollouts for the
+    policy-vs-diffusion head-to-head, tools/policy_eval.py).
+    """
+    roll = make_rollout_fn(model, num_robot_points)
+    spheres = CollisionSphereSampler(spheres_per_link)
+
+    def validate(params, batch):
+        traj_norm = roll(params, batch["xyz"], batch["configuration"],
+                         rollout_length)                   # (L+1, B, 7)
+        traj = unnormalize_joints(jnp.swapaxes(traj_norm, 0, 1))  # (B,L+1,7)
+
+        eff = ee_transform(traj[:, -1])
+        pos_err = jnp.linalg.norm(eff[..., :3, 3] - batch["target_position"],
+                                  axis=-1)
+
+        centers = spheres(traj)                            # (B, L+1, M, 3)
+        cub, cyl = scene_primitives(batch)
+        sd = jax.vmap(lambda c, u, y: jnp.minimum(u.sdf_all(c).min(-1),
+                                                  y.sdf_all(c).min(-1)))(
+            centers, cub, cyl)                             # (B, L+1, M)
+        hit = jnp.any(sd <= spheres.radii, axis=(-1, -2))
+        return {
+            "avg_target_error": jnp.mean(pos_err),
+            "avg_collision_rate": jnp.mean(hit.astype(jnp.float32)),
+        }
+
+    return jax.jit(validate)
+
+
 def validate_policy(model: MotionPolicyNetwork, params, batch,
                     rollout_length: int = 69, num_robot_points: int = 1024,
                     spheres_per_link: int = 4) -> Dict[str, jnp.ndarray]:
-    """Rollout validation metrics (mpinets/model.py:252-318): mean final
-    end-effector position error and sphere-model collision rate."""
-    roll = make_rollout_fn(model, num_robot_points)
-    traj_norm = roll(params, batch["xyz"], batch["configuration"],
-                     rollout_length)                       # (L+1, B, 7)
-    traj = unnormalize_joints(jnp.swapaxes(traj_norm, 0, 1))  # (B, L+1, 7)
+    """One-shot convenience wrapper over :func:`make_validate_fn` (loops
+    should build the fn once instead)."""
+    return make_validate_fn(model, rollout_length, num_robot_points,
+                            spheres_per_link)(params, batch)
 
-    eff = ee_transform(traj[:, -1])
-    pos_err = jnp.linalg.norm(eff[..., :3, 3] - batch["target_position"],
-                              axis=-1)
 
-    spheres = CollisionSphereSampler(spheres_per_link)
-    centers = spheres(traj)                                # (B, L+1, M, 3)
-    cub, cyl = scene_primitives(batch)
-    sd = jax.vmap(lambda c, u, y: jnp.minimum(u.sdf_all(c).min(-1),
-                                              y.sdf_all(c).min(-1)))(
-        centers, cub, cyl)                                 # (B, L+1, M)
-    hit = jnp.any(sd <= spheres.radii, axis=(-1, -2))
-    return {
-        "avg_target_error": jnp.mean(pos_err),
-        "avg_collision_rate": jnp.mean(hit.astype(jnp.float32)),
-    }
+def save_policy_params(params, path: str) -> None:
+    """Persist policy params as a flat keystr-keyed npz (the
+    cli.train_policy checkpoint format)."""
+    import numpy as np
+
+    flat = {jax.tree_util.keystr(p): np.asarray(leaf)
+            for p, leaf in jax.tree_util.tree_leaves_with_path(params)}
+    np.savez(path, **flat)
+
+
+def load_policy_params(path: str, num_points: int = 2048):
+    """Load a cli.train_policy checkpoint back into the params pytree.
+
+    The npz keys are ``jax.tree_util.keystr`` paths; the tree structure
+    comes from a fresh ``init_policy`` template (shape-checked leaf by
+    leaf).  Round-trip test: tests/test_policy.py."""
+    import numpy as np
+
+    flat = dict(np.load(path))
+    _, template = init_policy(jax.random.key(0), num_points=num_points)
+
+    def pick(p, leaf):
+        k = jax.tree_util.keystr(p)
+        if k not in flat:
+            raise KeyError(f"checkpoint missing parameter {k}")
+        arr = jnp.asarray(flat[k])
+        if arr.shape != leaf.shape:
+            raise ValueError(f"{k}: checkpoint shape {arr.shape} != model "
+                             f"shape {leaf.shape}")
+        return arr
+    return jax.tree_util.tree_map_with_path(pick, template)

@@ -207,12 +207,18 @@ def plan_scenes(
         ik_goals, ik_valid, starts, scenes, cfg.volume_trust_region)
 
     sample_scene = tile_scene_per_sample(scenes, B)
+
+    def _tile_w(w):  # assist weights: (B,) arrays tile, None passes through
+        return None if w is None else jnp.tile(w, S)
+
     guide_folded = GuideParams(
         clearance=jnp.tile(guide.clearance, (S, 1)),
         expansion=jnp.tile(guide.expansion, (S, 1)),
         guidance_method=jnp.tile(guide.guidance_method, S),
         grad_norm=jnp.tile(guide.grad_norm, S),
         guidance_schedule=jnp.tile(guide.guidance_schedule, (S, 1)),
+        self_collision_weight=_tile_w(guide.self_collision_weight),
+        joint_limit_weight=_tile_w(guide.joint_limit_weight),
     )
     start_s = jnp.repeat(starts, B, axis=0)
     goal_s = jnp.repeat(goals, B, axis=0)

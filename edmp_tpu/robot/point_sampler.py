@@ -64,6 +64,12 @@ def build_fixed_points(num_points: int = 1024, seed: int = 0,
     has no base-link box, so it is a no-op.
     """
     del with_base_link
+    if num_points < C.NUM_LINKS:
+        # the min-1-per-link floor below needs at least one point per link;
+        # fewer would drive counts to 0 and divide by zero in the rebalance
+        raise ValueError(
+            f"num_points must be >= {C.NUM_LINKS} (one per link box), "
+            f"got {num_points}")
     rng = np.random.default_rng(seed)
     half = np.asarray(C.LINK_BOX_DIMS, np.float64) / 2.0   # (9, 3)
     areas = 8.0 * (half[:, 0] * half[:, 1] + half[:, 1] * half[:, 2]

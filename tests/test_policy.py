@@ -216,6 +216,40 @@ def test_validate_policy_metrics(rng):
     assert 0.0 <= float(metrics["avg_collision_rate"]) <= 1.0
 
 
+def test_policy_params_npz_roundtrip(tmp_path):
+    """save_policy_params -> load_policy_params restores the exact pytree
+    (the consumability contract for results_r3/policy_train checkpoints)."""
+    import jax
+
+    from edmp_tpu.models.policy import (init_policy, load_policy_params,
+                                        save_policy_params)
+
+    n_points = 64
+    _, params = init_policy(jax.random.key(3), num_points=n_points)
+    path = str(tmp_path / "p.npz")
+    save_policy_params(params, path)
+    loaded = load_policy_params(path, num_points=n_points)
+    assert jax.tree_util.tree_structure(loaded) == \
+        jax.tree_util.tree_structure(params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_fixed_points_rejects_too_few_points():
+    from edmp_tpu.robot.point_sampler import build_fixed_points
+
+    with pytest.raises(ValueError):
+        build_fixed_points(num_points=5)
+
+
+def test_empty_obstacle_config_gives_empty_cloud(rng):
+    """Empty scenes must not plant origin points with the robot's
+    segmentation id (reference returns an empty array)."""
+    pc = construct_mixed_point_cloud(np.zeros((0, 10)), 128, rng=rng)
+    assert pc.shape == (0, 4)
+
+
 def test_construct_mixed_point_cloud_on_surfaces(rng):
     from edmp_tpu.costs.sdf import Cuboids
 

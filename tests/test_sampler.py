@@ -94,6 +94,25 @@ def test_guidance_pushes_away_from_obstacle():
     assert cg < cu
 
 
+def test_guided_zero_gradient_scene_is_nan_free():
+    """Regression: a scene the batch never touches gives ||g|| = 0; the
+    whole-tensor grad-norm blend must not NaN-poison the batch via 0*(g/0)
+    (guard in _make_lane_guided_update / guidance_gradient_*)."""
+    T, B, N = 12, 3, 8
+    sch = make_schedule(T)
+    # obstacle far outside the reachable workspace -> identically-zero cost
+    scene = pack_scene(np.array([[9.0, 9, 9, 0, 0, 0, 1, 0.1, 0.1, 0.1]]))
+    gp = GuideParams(
+        clearance=jnp.zeros((B, T)), expansion=jnp.zeros((B, T)),
+        guidance_method=jnp.zeros(B), grad_norm=jnp.ones(B),  # norm path ON
+        guidance_schedule=jnp.full((B, T), 0.1),
+    )
+    x = S.denoise_guided(_dummy_apply, None, sch, scene, gp, jnp.zeros(7),
+                         jnp.ones(7) * 0.1, jax.random.key(2),
+                         batch_size=B, traj_len=N)
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
 def test_q_sample_conditioning_and_stats(rng):
     sch = make_schedule(255)
     x0 = jnp.asarray(rng.normal(0, 0.5, (64, 20, 7)), jnp.float32)
