@@ -108,7 +108,8 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
     cfg = P.PlannerConfig(
         batch_size=batch, traj_len=TRAJ_LEN, sampler=sampler,
         ddim_steps=ddim_steps,
-        ddim_guidance_period=ddim_guidance_period,
+        # DDIM ignores guidance_min_t; period <= 0 is its no-guidance form
+        ddim_guidance_period=(0 if no_guidance else ddim_guidance_period),
         guidance_engine=guidance_engine,
         # guidance_min_t above T disables every guided step: the A/B that
         # isolates the guidance engine's share of the fused scan

@@ -56,6 +56,13 @@ def main(argv=None):
     ap.add_argument("--assist-jl", type=float, default=None,
                     help="enable the joint-limit hinge guidance term at "
                     "this weight for ALL samples")
+    ap.add_argument("--sc-filter-goals", action="store_true",
+                    help="reject self-colliding IK goal candidates before "
+                    "the trust-region filter (docs/assist_study.md)")
+    ap.add_argument("--safe-selection", action="store_true",
+                    help="best-of-batch selection penalizes self-collision/"
+                    "joint-limit violations (any clean sample beats every "
+                    "dirty one)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--random-weights", action="store_true")
     ap.add_argument("--weights-npz", default=None,
@@ -186,7 +193,9 @@ def main(argv=None):
                                sampler=args.sampler,
                                ddim_steps=args.ddim_steps,
                                ddim_guidance_period=args.ddim_guidance_period,
-                               guidance_engine=args.guidance_engine)
+                               guidance_engine=args.guidance_engine,
+                               sc_filter_goals=args.sc_filter_goals,
+                               safety_aware_selection=args.safe_selection)
     sweep_cfg = SweepConfig(
         scenes_per_batch=args.scenes_per_batch,
         substeps=args.substeps,

@@ -92,6 +92,23 @@ LINK_BOX_DIMS = np.array(
     dtype=np.float64,
 )
 
+# Sensitivity-study override (tools/link_dims_sensitivity.py): scale the
+# vendored box dims at import time.  EDMP_LINK_DIMS_SCALE is either one
+# float (global) or 9 comma-separated per-link factors.  Test-only — the
+# vendored values above are the shipped model.
+import os as _os
+
+_scale_env = _os.environ.get("EDMP_LINK_DIMS_SCALE")
+if _scale_env:
+    _factors = np.asarray([float(x) for x in _scale_env.split(",")],
+                          np.float64)
+    if _factors.size == 1:
+        LINK_BOX_DIMS = LINK_BOX_DIMS * _factors[0]
+    elif _factors.size == 9:
+        LINK_BOX_DIMS = LINK_BOX_DIMS * _factors[:, None]
+    else:
+        raise ValueError("EDMP_LINK_DIMS_SCALE needs 1 or 9 factors")
+
 # ---------------------------------------------------------------------------
 # Joint limits.  The sampler's clip limits (diffusion/diffusion.py:282-296)
 # are expressed in degrees there; they coincide with the physical Franka

@@ -122,6 +122,46 @@ def joint_limit_cost(joints, margin: float = DEFAULT_JL_MARGIN):
     return jnp.sum(over * over + under * under)
 
 
+def min_clearance_per_config(joints):
+    """Min capsule clearance over pairs, (..., 7) -> (...).  Negative =
+    self-collision.  Used by goal filtering and safety-aware selection."""
+    return jnp.min(capsule_clearances(joints), axis=-1)
+
+
+def trajectory_safety_penalties(trajs, swept_costs=None, penalty: float = 1e3):
+    """Per-sample selection penalties: self-collision, joint-limit and
+    (when ``swept_costs`` is given) predicted-env-collision violations.
+
+    trajs : (B, N, 7) FULL trajectories (endpoints included).  Returns (B,)
+    — 0 for samples clean on every axis, >= ``penalty`` per violated axis,
+    scaled by the violation depth so among all-dirty batches the least-
+    violating sample still wins.  Raw swept obstacle costs are O(1e-2), so
+    the penalty dominates them: selection becomes class-hierarchical —
+    fully-clean samples beat single-violation samples beat multi-violation
+    ones, with min swept volume breaking ties within a class (the
+    batch-is-the-fix design: with 120 samples/scene, steering only has to
+    make SOME samples clean, not all).
+
+    The env term uses the swept-volume signal itself: zero swept volume on
+    the conservative AABB-hull model GUARANTEES a collision-free path, so
+    ``swept > 0`` = predicted collision.  Without it (round-4 first
+    measurement, docs/assist_study.md safe_only arm) selection traded
+    obstacle quality for capsule cleanliness: env collisions rose
+    14% -> 22% while self-collisions fell.
+    """
+    cl = capsule_clearances(trajs)                       # (B, N, P)
+    sc_depth = jnp.sum(jnp.maximum(-cl, 0.0), axis=(1, 2))
+    lo = jnp.asarray(_LOWER, trajs.dtype)
+    hi = jnp.asarray(_UPPER, trajs.dtype)
+    jl_depth = jnp.sum(jnp.maximum(trajs - hi, 0.0)
+                       + jnp.maximum(lo - trajs, 0.0), axis=(1, 2))
+    pen = (penalty * jnp.minimum(1.0 + sc_depth, 2.0) * (sc_depth > 0)
+           + penalty * jnp.minimum(1.0 + jl_depth, 2.0) * (jl_depth > 0))
+    if swept_costs is not None:
+        pen = pen + penalty * (swept_costs > 0.0)
+    return pen
+
+
 def has_assist(guide) -> bool:
     """Static: does this ensemble carry any assist term?
 

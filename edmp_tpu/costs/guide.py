@@ -192,6 +192,34 @@ def best_trajectory_index(joints, start, goal, scene: SceneObstacles):
     return jnp.argmin(swept_cost_per_sample(joints, start, goal, scene))
 
 
+def swept_volumes_final(joints, obs_lo, obs_hi):
+    """The reference's UNUSED ``swept_volume_cost_final`` variant
+    (lib/guide.py:539-595), kept for API completeness: swept volume over a
+    trajectory whose endpoint rows are ZERO configurations (the reference
+    allocates ``torch.zeros`` and never writes start/goal into rows 0/-1 —
+    the endpoint assignments are commented out at :549-550).
+
+    joints : (B, N, 7) interior waypoints.  Returns (B, N+1, L, O).
+    """
+    zeros = jnp.zeros_like(joints[:, :1, :])
+    traj = jnp.concatenate([zeros, joints, zeros], axis=1)
+    lo, hi = kin.link_aabbs(traj)
+    seg_lo = jnp.minimum(lo[:, :-1], lo[:, 1:])
+    seg_hi = jnp.maximum(hi[:, :-1], hi[:, 1:])
+    return _overlap_volumes(seg_lo, seg_hi, obs_lo, obs_hi)
+
+
+def best_trajectory_final(trajectories, scene: SceneObstacles):
+    """The reference's UNUSED ``choose_best_trajectory_final``
+    (lib/guide.py:655-668): argmin of the summed zero-endpoint swept volume
+    at t=0 over the batch.  trajectories : (B, N, 7); returns the (N, 7)
+    winner."""
+    obs_lo, obs_hi = obstacle_aabbs(scene)
+    vols = jnp.sum(swept_volumes_final(trajectories[:, 1:-1, :],
+                                       obs_lo, obs_hi), axis=(1, 2, 3))
+    return trajectories[jnp.argmin(vols)]
+
+
 def ik_goal_volumes(goals, scene: SceneObstacles):
     """Intersection volume of each candidate IK goal configuration.
 

@@ -35,6 +35,26 @@ def random_joint_config(rng: np.random.Generator, n: int = 1,
     return rng.uniform(lo, hi, (n, 7))
 
 
+def random_safe_joint_config(rng: np.random.Generator,
+                             clearance: float = 0.005) -> np.ndarray:
+    """A random in-limits configuration that is SELF-COLLISION-FREE on the
+    capsule model.
+
+    The real MPiNets 'solvable problems' carry expert-data start/goal
+    configurations that never self-collide; a uniform draw over the joint
+    box does ~30% of the time (measured round 4), which plants strict-
+    protocol failures into the problem itself.  Rejection-samples until the
+    min capsule clearance exceeds ``clearance``.
+    """
+    from edmp_tpu.robot.self_collision import min_pair_clearance
+
+    for _ in range(200):
+        q = random_joint_config(rng)[0]
+        if min_pair_clearance(q[None]).min() > clearance:
+            return q
+    raise RuntimeError("rejection sampling failed (200 draws)")
+
+
 def random_problem(rng: np.random.Generator, n_obstacles: int = 6,
                    n_ik_goals: int = 16):
     """A full synthetic planning problem.
@@ -59,8 +79,12 @@ def synthetic_packed_dataset(rng: np.random.Generator, n_scenes: int,
     """A PackedDataset of synthetic problems with FK-consistent targets.
 
     With ``feasible=True`` (default) obstacles that collide with the start or
-    goal configuration are dropped — the synthetic analogue of the MPiNets
-    'solvable problems' filtering, so success rates are meaningful.
+    goal configuration are dropped, and start/goal configurations are
+    rejection-sampled to be self-collision-free — the synthetic analogue of
+    the MPiNets 'solvable problems' filtering, so success rates are
+    meaningful.  (Before round 4 the generator drew start/goal uniformly;
+    ~30% of uniform draws self-collide on the capsule model, planting
+    strict-protocol failures into the problem itself.)
     """
     from edmp_tpu.data.problems import PackedDataset, Problem, SCENE_TYPES
     from edmp_tpu.robot.kinematics import numpy_ee_transform
@@ -74,8 +98,12 @@ def synthetic_packed_dataset(rng: np.random.Generator, n_scenes: int,
     problems = []
     for i in range(n_scenes):
         oc = random_obstacle_config(rng, n_obstacles)
-        q0 = random_joint_config(rng)[0]
-        goal = random_joint_config(rng)[0]
+        if feasible:
+            q0 = random_safe_joint_config(rng)
+            goal = random_safe_joint_config(rng)
+        else:
+            q0 = random_joint_config(rng)[0]
+            goal = random_joint_config(rng)[0]
         if oracle is not None:
             keep = [o for o in oc
                     if not (oracle.config_in_collision(q0, o[None])

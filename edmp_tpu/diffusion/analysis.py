@@ -21,6 +21,34 @@ def gaussian_pdf(x, mean=0.0, var=1.0):
     return np.exp(-0.5 * (x - mean) ** 2 / var) / np.sqrt(2 * np.pi * var)
 
 
+def gaussian_plot_limits(mean, sigma, edge_factor: float = 0.01):
+    """Bell-curve x-range where the density falls to ``edge_factor`` of the
+    peak (diffusion/gaussian.py:37-46; used by the reference for plot axes).
+
+    Returns (x_lo, x_hi)."""
+    p_min = edge_factor * gaussian_pdf(mean, mean, sigma ** 2)
+    half = sigma * np.sqrt(
+        2.0 * np.log(1.0 / (p_min * sigma * np.sqrt(2.0 * np.pi))))
+    return mean - half, mean + half
+
+
+def multivariate_gaussian_pdf(mean, var, size: int = 1024,
+                              limits=(-1.0, 1.0)):
+    """Isotropic k-dim Gaussian density on a regular grid
+    (diffusion/gaussian.py:48-69).
+
+    mean: (k,); var: scalar variance shared by all axes.  Returns a
+    k-dimensional (size, ..., size) array sampled over ``limits`` per axis.
+    """
+    mean = np.asarray(mean, np.float64)
+    k = mean.size
+    axes = np.repeat([np.linspace(limits[0], limits[1], size)], k, axis=0)
+    x = np.array(np.meshgrid(*axes))
+    mu = mean.reshape((k,) + (1,) * k)
+    norm = 1.0 / (((2.0 * np.pi) ** (k / 2.0)) * np.sqrt(var ** k))
+    return norm * np.exp(-0.5 * np.sum((x - mu) ** 2, axis=0) / var)
+
+
 def kl_divergence_against_gaussian(samples, num_bins: int = 100) -> float:
     """Histogram KL(sample distribution || N(0,1))
     (diffusion/gaussian.py:21-35)."""

@@ -323,7 +323,9 @@ def denoise_guided_ddim(
         x0 = (x - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
         x = jnp.sqrt(ab_n) * x0 + jnp.sqrt(1.0 - ab_n) * eps
 
-        if guidance_period > 1:
+        if guidance_period <= 0:
+            pass  # guidance disabled (A/B probes, bench --no-guidance)
+        elif guidance_period > 1:
             x = jax.lax.cond(k % guidance_period == 0,
                              lambda x: guided_update(x, t), lambda x: x, x)
         else:

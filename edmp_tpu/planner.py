@@ -93,6 +93,17 @@ class PlannerConfig:
     # gradient engine: 'auto' = Pallas kernel on TPU / lane-major XLA on
     # CPU (measured-best per backend), or force 'manual'/'pallas'/'fast'
     guidance_engine: str = "auto"
+    # safety extensions beyond the reference (docs/assist_study.md).
+    # sc_filter_goals: drop self-colliding IK goal candidates BEFORE the
+    # trust-region argmin — the round-4 failure analysis found 37/63
+    # self-collision failures were baked into the selected goal itself,
+    # unfixable by any trajectory steering (the reference's IK sweep has the
+    # same blind spot, datasets/load_test_dataset.py:176-187).
+    sc_filter_goals: bool = False
+    # safety_aware_selection: add self-collision/joint-limit penalties to
+    # the best-of-batch metric so any clean sample beats every dirty one
+    # (costs/assist.trajectory_safety_penalties).
+    safety_aware_selection: bool = False
 
 
 class PlanResult(NamedTuple):
@@ -104,15 +115,28 @@ class PlanResult(NamedTuple):
 
 
 def select_goal(ik_goals, ik_valid, start, scene: SceneObstacles,
-                trust_region: float):
+                trust_region: float, sc_filter: bool = False):
     """Trust-region goal filter (infer_serial.py:117-129).
 
     Among IK candidates whose t=0 intersection volume is within
     ``trust_region`` of the minimum, pick the one closest to the start
     configuration.  Invalid (padded) candidates are masked out.
+
+    ``sc_filter`` (beyond the reference): additionally reject candidates
+    whose capsule model self-collides — a goal configuration in
+    self-collision dooms the whole plan under the strict protocol, since
+    endpoints are re-pinned every step.  Falls back to the unfiltered set
+    when EVERY candidate self-collides (better a dirty goal than a padded
+    garbage one).
     """
     vols = ik_goal_volumes(ik_goals, scene)
     inf = jnp.asarray(jnp.inf, vols.dtype)
+    if sc_filter:
+        from edmp_tpu.costs.assist import min_clearance_per_config
+
+        sc_ok = min_clearance_per_config(ik_goals) > 0.0
+        keep = ik_valid & sc_ok
+        ik_valid = jnp.where(jnp.any(keep), keep, ik_valid)
     vols = jnp.where(ik_valid, vols, inf)
     eligible = vols < jnp.min(vols) + trust_region
     dist = jnp.linalg.norm(start[None, :] - ik_goals, axis=-1)
@@ -138,12 +162,16 @@ def plan(
     """
     start = jnp.asarray(start, jnp.float32)
     goal = select_goal(ik_goals, ik_valid, start, scene,
-                       cfg.volume_trust_region)
+                       cfg.volume_trust_region, cfg.sc_filter_goals)
 
     trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
                          goal, rng, cfg, cfg.batch_size)
 
     costs = swept_cost_per_sample(trajs[:, 1:-1, :], start, goal, scene)
+    if cfg.safety_aware_selection:
+        from edmp_tpu.costs.assist import trajectory_safety_penalties
+
+        costs = costs + trajectory_safety_penalties(trajs, costs)
     best_idx = jnp.argmin(costs)
     return PlanResult(
         best=trajs[best_idx],
@@ -203,7 +231,11 @@ def plan_scenes(
     B = cfg.batch_size
     starts = jnp.asarray(starts, jnp.float32)
 
-    goals = jax.vmap(select_goal, in_axes=(0, 0, 0, 0, None))(
+    import functools
+
+    goals = jax.vmap(
+        functools.partial(select_goal, sc_filter=cfg.sc_filter_goals),
+        in_axes=(0, 0, 0, 0, None))(
         ik_goals, ik_valid, starts, scenes, cfg.volume_trust_region)
 
     sample_scene = tile_scene_per_sample(scenes, B)
@@ -228,6 +260,10 @@ def plan_scenes(
 
     costs = swept_cost_per_sample(trajs[:, 1:-1, :], start_s, goal_s,
                                   sample_scene)
+    if cfg.safety_aware_selection:
+        from edmp_tpu.costs.assist import trajectory_safety_penalties
+
+        costs = costs + trajectory_safety_penalties(trajs, costs)
     costs = costs.reshape(S, B)
     best_idx = jnp.argmin(costs, axis=1)
     trajs = trajs.reshape(S, B, cfg.traj_len, cfg.num_channels)
@@ -288,10 +324,14 @@ def make_large_batch_plan_fn(model, schedule: DiffusionSchedule,
     def sample_fn(params, scene, guide, start, ik_goals, ik_valid, rng):
         start = jnp.asarray(start, jnp.float32)
         goal = select_goal(ik_goals, ik_valid, start, scene,
-                           cfg.volume_trust_region)
+                           cfg.volume_trust_region, cfg.sc_filter_goals)
         trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
                              goal, rng, cfg, cfg.batch_size)
         costs = swept_cost_per_sample(trajs[:, 1:-1, :], start, goal, scene)
+        if cfg.safety_aware_selection:
+            from edmp_tpu.costs.assist import trajectory_safety_penalties
+
+            costs = costs + trajectory_safety_penalties(trajs, costs)
         return trajs, costs, goal
 
     # batch axis sharded for per-sample arrays (guide hyperparameters and the

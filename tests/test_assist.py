@@ -197,6 +197,49 @@ def test_sampler_sc_assist_reduces_self_collision_cost():
     assert sc_cost(x_on) < 0.5 * sc_cost(x_off)
 
 
+_SC_BAD = np.asarray([2.4, 1.57, 2.4, -2.9, 2.4, 3.0, 2.4], np.float32)
+_SC_OK = np.asarray([0.0, -0.3, 0.0, -1.8, 0.0, 1.5, 0.0], np.float32)
+
+
+def test_min_clearance_flags_known_configs():
+    cl = np.asarray(A.min_clearance_per_config(
+        jnp.asarray(np.stack([_SC_BAD, _SC_OK]))))
+    assert cl[0] < 0 < cl[1]
+
+
+def test_select_goal_sc_filter():
+    """A self-colliding IK candidate closer to the start must lose to a
+    clean one when sc_filter is on (and win when off — reference parity)."""
+    from edmp_tpu.planner import select_goal
+
+    scene = pack_scene(np.array([[9.0, 9, 9, 0, 0, 0, 1, 0.1, 0.1, 0.1]]))
+    goals = jnp.asarray(np.stack([_SC_BAD, _SC_OK]))
+    valid = jnp.asarray([True, True])
+    start = jnp.asarray(_SC_BAD)  # distance 0 to the colliding candidate
+    g_off = select_goal(goals, valid, start, scene, 8e-4, sc_filter=False)
+    np.testing.assert_allclose(np.asarray(g_off), _SC_BAD)
+    g_on = select_goal(goals, valid, start, scene, 8e-4, sc_filter=True)
+    np.testing.assert_allclose(np.asarray(g_on), _SC_OK)
+    # all-colliding candidate sets fall back to the unfiltered choice
+    goals2 = jnp.asarray(np.stack([_SC_BAD, _SC_BAD]))
+    g_fb = select_goal(goals2, valid, start, scene, 8e-4, sc_filter=True)
+    np.testing.assert_allclose(np.asarray(g_fb), _SC_BAD)
+
+
+def test_trajectory_safety_penalties():
+    clean = jnp.asarray(np.tile(_SC_OK, (1, 5, 1)))
+    dirty_sc = jnp.asarray(np.tile(_SC_BAD, (1, 5, 1)))
+    jl_bad = np.tile(_SC_OK, (1, 5, 1)).copy()
+    jl_bad[0, 2, 0] = float(C.JOINT_LIMITS_UPPER[0]) + 0.3
+    p = np.asarray(A.trajectory_safety_penalties(
+        jnp.concatenate([clean, dirty_sc, jnp.asarray(jl_bad)])))
+    assert p[0] == 0.0
+    assert p[1] >= 1e3 and p[2] >= 1e3
+    # any clean sample must beat every dirty one even with a worse swept
+    # cost (swept costs are O(1e-2))
+    assert p[1] > 1.0 and p[2] > 1.0
+
+
 def test_plan_scenes_with_assist_weights(toy_model_fixture=None):
     """plan_scenes tiles assist weights across the scene fold."""
     from edmp_tpu import planner as P

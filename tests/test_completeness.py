@@ -18,6 +18,58 @@ def test_kl_divergence_gaussian_small_for_normal(rng):
     assert kl_divergence_against_gaussian(x * 3 + 2) > 0.5
 
 
+def test_gaussian_plot_limits_bracket_density(rng):
+    """gaussian.py:37-46 parity: the returned x-range is where the density
+    equals edge_factor * peak."""
+    from edmp_tpu.diffusion.analysis import gaussian_pdf, gaussian_plot_limits
+
+    mu, sigma = 1.5, 0.7
+    lo, hi = gaussian_plot_limits(mu, sigma, edge_factor=0.01)
+    peak = gaussian_pdf(mu, mu, sigma ** 2)
+    np.testing.assert_allclose(gaussian_pdf(lo, mu, sigma ** 2), 0.01 * peak,
+                               rtol=1e-6)
+    np.testing.assert_allclose(gaussian_pdf(hi, mu, sigma ** 2), 0.01 * peak,
+                               rtol=1e-6)
+    assert lo < mu < hi
+
+
+def test_multivariate_gaussian_pdf_grid():
+    """gaussian.py:48-69 parity: k-dim isotropic grid density, peak at the
+    grid point nearest the mean, correct normalization constant."""
+    from edmp_tpu.diffusion.analysis import multivariate_gaussian_pdf
+
+    pdf = multivariate_gaussian_pdf([0.0, 0.0], var=0.1, size=41,
+                                    limits=(-1, 1))
+    assert pdf.shape == (41, 41)
+    peak = 1.0 / (2 * np.pi * 0.1)  # k=2 isotropic normalization
+    np.testing.assert_allclose(pdf.max(), peak, rtol=1e-6)
+    assert np.unravel_index(pdf.argmax(), pdf.shape) == (20, 20)
+
+
+def test_swept_final_variant_zero_endpoints(rng):
+    """lib/guide.py:539-595/:655-668 parity: the '_final' swept-volume
+    variant hulls against ZERO-configuration endpoint rows (the reference
+    never writes start/goal into them)."""
+    from edmp_tpu.costs.guide import (best_trajectory_final, swept_volumes,
+                                      swept_volumes_final)
+    from edmp_tpu.costs.obstacles import obstacle_aabbs, pack_scene
+
+    scene = pack_scene(
+        np.array([[0.4, 0.0, 0.4, 0, 0, 0, 1, 0.4, 0.4, 0.4]]))
+    obs_lo, obs_hi = obstacle_aabbs(scene)
+    joints = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 6, 7)), jnp.float32)
+    v_final = swept_volumes_final(joints, obs_lo, obs_hi)
+    assert v_final.shape[1] == 7  # N+1 segments including both zero rows
+    # equivalent to the regular swept cost with start = goal = zeros
+    v_zero = swept_volumes(joints, jnp.zeros(7), jnp.zeros(7),
+                           obs_lo, obs_hi)
+    np.testing.assert_allclose(np.asarray(v_final), np.asarray(v_zero),
+                               atol=1e-6)
+    trajs = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 8, 7)), jnp.float32)
+    best = best_trajectory_final(trajs, scene)
+    assert best.shape == (8, 7)
+
+
 def test_forward_diffuse_converges_to_gaussian(rng):
     from edmp_tpu.diffusion.analysis import forward_diffuse
     from edmp_tpu.diffusion.schedule import make_schedule

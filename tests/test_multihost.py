@@ -83,6 +83,132 @@ def _read_spool(path):
     return recs
 
 
+def _run_single(cfg_path, results, tag, n_scenes, extra=None):
+    cmd = _infer_cmd(str(cfg_path), results, tag, extra or [])
+    # patch the --synthetic count in place
+    cmd[cmd.index("--synthetic") + 1] = str(n_scenes)
+    p = subprocess.run(cmd, cwd=REPO, env=_env(), capture_output=True,
+                       text=True, timeout=800)
+    assert p.returncode == 0, p.stderr[-3000:]
+    return p.stdout
+
+
+def _run_procs(cfg_path, results, tag, n_scenes, n_procs, extra=None):
+    port = _free_port()
+    procs = []
+    for pid in range(n_procs):
+        e = (extra or []) + ["--coordinator", f"127.0.0.1:{port}",
+                             "--num-processes", str(n_procs),
+                             "--process-id", str(pid)]
+        cmd = _infer_cmd(str(cfg_path), results, tag, e)
+        cmd[cmd.index("--synthetic") + 1] = str(n_scenes)
+        procs.append(subprocess.Popen(cmd, cwd=REPO, env=_env(),
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=800)
+        outs.append((p.returncode, out, err))
+    for rc, _, err in outs:
+        assert rc == 0, err[-3000:]
+    return outs
+
+
+def test_four_process_uneven_slices_partial_then_resume(tmp_path):
+    """4 hosts over 10 scenes (uneven: 3/3/3/1); first pass killed mid-sweep
+    (simulated via --max-scenes), partial spools merged, then a second pass
+    RESUMES every host to completion and the merged result equals the
+    single-process run — the elastic-recovery contract of SURVEY §5."""
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(CFG.format(save_dir=str(tmp_path / "results")))
+    results = str(tmp_path / "results")
+    n = 10
+
+    _run_single(cfg_path, results, "single10", n)
+    single = _read_spool(os.path.join(results, "sweep_single10.jsonl"))
+    assert len(single) == n
+
+    # phase 1: every host stops after 2 scenes (host 3 only owns 1)
+    _run_procs(cfg_path, results, "m4", n, 4, extra=["--max-scenes", "2"])
+    spools = [os.path.join(results, f"sweep_m4_h{r}.jsonl") for r in range(4)]
+    sizes = [len(_read_spool(s)) for s in spools]
+    assert sizes == [2, 2, 2, 1]  # partial; uneven tail slice
+
+    sys.path.insert(0, REPO)
+    from tools.merge_spools import merge, summarize
+
+    partial = merge(spools, total_scenes=n)
+    assert len(partial) == 7
+    assert summarize(partial)["overall"]["n"] == 7
+    got = {r["scene_index"] for r in partial}
+    assert got == {0, 1, 3, 4, 6, 7, 9}  # global indices, offsets applied
+
+    # phase 2: full rerun resumes each host from its spool
+    outs = _run_procs(cfg_path, results, "m4", n, 4)
+    sizes = [len(_read_spool(s)) for s in spools]
+    assert sizes == [3, 3, 3, 1]
+    merged = merge(spools, total_scenes=n)
+    assert sorted(r["scene_index"] for r in merged) == list(range(n))
+    for rec in merged:
+        ref = single[rec["scene_index"]]
+        assert rec["success"] == ref["success"], rec["scene_index"]
+        np.testing.assert_allclose(rec["goal"], ref["goal"], atol=1e-5)
+
+
+def test_kill9_mid_sweep_then_resume(tmp_path):
+    """A real SIGKILL mid-sweep (torn tail writes possible) must leave a
+    resumable spool: the rerun completes the remaining scenes with no
+    duplicate indices and matches a clean run."""
+    import signal
+    import time
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(CFG.format(save_dir=str(tmp_path / "results")))
+    results = str(tmp_path / "results")
+    spool = os.path.join(results, "sweep_kill.jsonl")
+
+    cmd = _infer_cmd(str(cfg_path), results, "kill",
+                     ["--scenes-per-batch", "2"])
+    p = subprocess.Popen(cmd, cwd=REPO, env=_env(),
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if os.path.exists(spool) and len(_read_spool(spool)) >= 2:
+                break
+            if p.poll() is not None:
+                break  # finished before we could kill: resume still tested
+            time.sleep(0.3)
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            p.wait(timeout=60)
+    finally:
+        if p.poll() is None:
+            p.kill()
+
+    n_before = len(_read_spool(spool)) if os.path.exists(spool) else 0
+
+    q = subprocess.run(cmd, cwd=REPO, env=_env(), capture_output=True,
+                       text=True, timeout=800)
+    assert q.returncode == 0, q.stderr[-3000:]
+    recs = _read_spool(spool)
+    assert sorted(recs) == list(range(N_SCENES))
+    # spool line count may exceed N_SCENES only by the torn tail; indices
+    # must be unique after _read_spool's last-wins keying
+    with open(spool) as f:
+        lines = [l for l in f if l.strip()]
+    assert len(lines) <= N_SCENES + 1
+    # resumed run matches a clean single run scene-for-scene
+    _run_single(cfg_path, results, "clean", N_SCENES)
+    clean = _read_spool(os.path.join(results, "sweep_clean.jsonl"))
+    for i in range(N_SCENES):
+        assert recs[i]["success"] == clean[i]["success"]
+        np.testing.assert_allclose(recs[i]["goal"], clean[i]["goal"],
+                                   atol=1e-5)
+    assert n_before <= N_SCENES
+
+
 def test_two_process_multihost_equals_single(tmp_path):
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(CFG.format(save_dir=str(tmp_path / "results")))

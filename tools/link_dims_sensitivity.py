@@ -1,0 +1,198 @@
+"""LINK_BOX_DIMS sensitivity study (the vendored-constants risk).
+
+Both the guidance cost and the success oracle ride the vendored link-box
+dimensions (constants.py); the ground truth — dims parsed from
+pybullet_data meshes at reference startup (lib/guide.py:245-284) — is
+environment-blocked.  This study bounds the risk: scale the dims by
++/-5/10/20% (globally, and per-link for the geometry-heavy links) and
+measure how the 128-scene protocol results move.
+
+Each perturbation runs in a SUBPROCESS with EDMP_LINK_DIMS_SCALE set
+(constants.py applies it at import), so every consumer — FK AABBs, capsule
+model, C++ oracle half-extents — sees the same perturbed robot, exactly as
+a different vendored table would.
+
+Run (TPU): python -m tools.link_dims_sensitivity
+Writes docs/link_dims_sensitivity.md + results_r4/link_dims_sensitivity.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(HERE, os.pardir))
+
+_CHILD = r"""
+import json, os, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from edmp_tpu import planner as P
+from edmp_tpu.config import CFG1_GUIDE_IDS, pack_ensemble, reference_guide_configs
+from edmp_tpu.data.synthetic import synthetic_packed_dataset
+from edmp_tpu.diffusion.schedule import make_schedule
+from edmp_tpu.models import temporal_unet as tu
+from edmp_tpu.parallel.sweep import SweepConfig, run_sweep
+from edmp_tpu.utils.checkpoint import load_inference_weights
+
+tag, scenes, seed, weights, results_dir = sys.argv[1:6]
+ds = synthetic_packed_dataset(np.random.default_rng(int(seed)), int(scenes))
+model = tu.create_model()
+params = jax.tree.map(jnp.asarray, load_inference_weights(weights))
+sch = make_schedule(255)
+cfg = P.PlannerConfig(batch_size=120)
+gp, _ = pack_ensemble(reference_guide_configs(CFG1_GUIDE_IDS), 10, 255)
+scfg = SweepConfig(results_dir=results_dir, full_evaluation=True,
+                   seed=int(seed))
+st = run_sweep(model, params, sch, gp, ds, cfg, scfg, tag=tag,
+               guide_ids=CFG1_GUIDE_IDS)
+recs = sorted(st.completed.values(), key=lambda r: r["scene_index"])
+print("RESULT " + json.dumps({
+    "per_scene_protocol": [bool(r["metrics"]["protocol_success"])
+                           for r in recs],
+    "per_scene_oracle": [bool(r["success"]) for r in recs],
+    "self_collision": [bool(r["metrics"]["self_collision"]) for r in recs],
+}))
+"""
+
+
+def run_child(tag, scale, scenes, seed, weights, results_dir, timeout):
+    env = dict(os.environ)
+    if scale is not None:
+        env["EDMP_LINK_DIMS_SCALE"] = scale
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _CHILD, tag, str(scenes), str(seed),
+             weights, results_dir],
+            env=env, cwd=REPO, capture_output=True, text=True,
+            timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"[timeout] {tag}", flush=True)
+        return None
+    if p.returncode != 0:
+        print(f"[fail] {tag}: {p.stderr[-2000:]}", flush=True)
+        return None
+    for ln in reversed(p.stdout.strip().splitlines()):
+        if ln.startswith("RESULT "):
+            return json.loads(ln[len("RESULT "):])
+    return None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="link_dims_sensitivity")
+    ap.add_argument("--scenes", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--weights", default=os.path.join(
+        REPO, "models", "synthetic_v3", "weights_inference.npz"))
+    ap.add_argument("--global-scales", default="0.8,0.9,0.95,1.05,1.1,1.2")
+    ap.add_argument("--per-link", default="4,7,8",
+                    help="link indices for per-link +/-10% probes "
+                    "(5=forearm box, hand, finger)")
+    ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--results-dir", default=os.path.join(REPO, "results_r4"))
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    spool_dir = os.path.join(args.results_dir, "link_dims")
+    os.makedirs(spool_dir, exist_ok=True)
+
+    runs = [("dims_base", None)]
+    for s in [float(x) for x in args.global_scales.split(",") if x]:
+        runs.append((f"dims_g{s:g}", str(s)))
+    for li in [int(x) for x in args.per_link.split(",") if x]:
+        for s in (0.9, 1.1):
+            f = ["1"] * 9
+            f[li] = str(s)
+            runs.append((f"dims_l{li}_{s:g}", ",".join(f)))
+
+    results = {}
+    for tag, scale in runs:
+        out = run_child(tag, scale, args.scenes, args.seed, args.weights,
+                        spool_dir, args.timeout)
+        if out is None:
+            continue
+        results[tag] = {"scale": scale, **out}
+        n = len(out["per_scene_protocol"])
+        print(json.dumps({
+            "tag": tag, "scale": scale,
+            "protocol_pct": 100.0 * sum(out["per_scene_protocol"]) / n,
+            "oracle_pct": 100.0 * sum(out["per_scene_oracle"]) / n,
+        }), flush=True)
+
+    if "dims_base" not in results:
+        print("base run failed; aborting", file=sys.stderr)
+        return 1
+    base = results["dims_base"]
+
+    def flips(key, arm):
+        b = base[key]
+        a = results[arm][key]
+        gain = sum(x and not y for x, y in zip(a, b))
+        loss = sum(y and not x for x, y in zip(a, b))
+        return gain, loss
+
+    table = []
+    for tag in results:
+        if tag == "dims_base":
+            continue
+        gp, lp = flips("per_scene_protocol", tag)
+        go, lo = flips("per_scene_oracle", tag)
+        n = len(base["per_scene_protocol"])
+        table.append({
+            "tag": tag, "scale": results[tag]["scale"],
+            "protocol_pct": 100.0 * sum(
+                results[tag]["per_scene_protocol"]) / n,
+            "protocol_flips": f"+{gp}/-{lp}",
+            "oracle_pct": 100.0 * sum(results[tag]["per_scene_oracle"]) / n,
+            "oracle_flips": f"+{go}/-{lo}",
+        })
+
+    n = len(base["per_scene_protocol"])
+    out_doc = {
+        "scenes": n, "seed": args.seed,
+        "base_protocol_pct": 100.0 * sum(base["per_scene_protocol"]) / n,
+        "base_oracle_pct": 100.0 * sum(base["per_scene_oracle"]) / n,
+        "perturbations": table,
+    }
+    with open(os.path.join(args.results_dir,
+                           "link_dims_sensitivity.json"), "w") as f:
+        json.dump(out_doc, f, indent=1)
+
+    lines = [
+        "# LINK_BOX_DIMS sensitivity",
+        "",
+        f"{n} synthetic protocol scenes (seed {args.seed}), cfg1 ensemble, "
+        "DDPM-255, trained model `models/synthetic_v3`.  Every run scales "
+        "the vendored link-box dims via `EDMP_LINK_DIMS_SCALE` so the "
+        "guidance cost, capsule model AND the C++ oracle all see the same "
+        "perturbed robot (exactly what a different vendored table would "
+        "do).  Flips are per-scene success changes vs the vendored base "
+        "(+gained / -lost).",
+        "",
+        f"Base: strict protocol {out_doc['base_protocol_pct']:.1f}%, "
+        f"oracle collision-free {out_doc['base_oracle_pct']:.1f}%.",
+        "",
+        "| perturbation | scale | protocol % | protocol flips | oracle % "
+        "| oracle flips |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in table:
+        lines.append(f"| {r['tag']} | {r['scale']} | "
+                     f"{r['protocol_pct']:.1f} | {r['protocol_flips']} | "
+                     f"{r['oracle_pct']:.1f} | {r['oracle_flips']} |")
+    lines.append("")
+    with open(os.path.join(REPO, "docs", "link_dims_sensitivity.md"),
+              "w") as f:
+        f.write("\n".join(lines))
+    print("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
