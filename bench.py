@@ -70,7 +70,8 @@ def _device_peak_tflops():
 
 def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
                    use_pallas=False, batch=BATCH, no_guidance=False,
-                   guidance_engine="auto", ddim_guidance_period=1):
+                   guidance_engine="auto", ddim_guidance_period=1,
+                   safe=False):
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +92,8 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
     if gp.batch != batch:  # tile/trim to the requested batch
         reps = -(-batch // gp.batch)
         gp = type(gp)(*[
-            (jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:batch])
+            (None if a is None else
+             jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:batch])
             for a in gp])
 
     model = tu.create_model(dtype=jnp.bfloat16 if bf16 else None,
@@ -111,6 +113,9 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
         # DDIM ignores guidance_min_t; period <= 0 is its no-guidance form
         ddim_guidance_period=(0 if no_guidance else ddim_guidance_period),
         guidance_engine=guidance_engine,
+        # the measured-best quality mode (docs/assist_study.md): sc-filtered
+        # goals + safety-aware selection
+        sc_filter_goals=safe, safety_aware_selection=safe,
         # guidance_min_t above T disables every guided step: the A/B that
         # isolates the guidance engine's share of the fused scan
         guidance_min_t=T_STEPS + 2 if no_guidance else 5)
@@ -138,7 +143,7 @@ def build_workload(n_scenes, sampler="ddpm", ddim_steps=32, bf16=False,
 
 def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
             use_pallas=False, batch=BATCH, no_guidance=False,
-            guidance_engine="auto", ddim_guidance_period=1):
+            guidance_engine="auto", ddim_guidance_period=1, safe=False):
     """Measure one configuration.  Returns a result dict with throughput and
     FLOP accounting."""
     import jax
@@ -148,7 +153,7 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
 
     model, sch, cfg, args = build_workload(
         n_scenes, sampler, ddim_steps, bf16, use_pallas, batch, no_guidance,
-        guidance_engine, ddim_guidance_period)
+        guidance_engine, ddim_guidance_period, safe)
     fn = P.make_batched_plan_fn(model, sch, cfg)
 
     # XLA cost analysis needs the AOT lower().compile() path, which has been
@@ -204,6 +209,7 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
         "scenes": n_scenes, "batch": batch, "reps": reps,
         "sampler": sampler, "bf16": bf16, "use_pallas": use_pallas,
         "no_guidance": no_guidance, "guidance_engine": guidance_engine,
+        "safe": safe,
         **({"ddim_steps": ddim_steps,
             "ddim_guidance_period": ddim_guidance_period}
            if sampler == "ddim" else {}),
@@ -399,6 +405,9 @@ def main():
                     "kernel, costs/pallas_grad.py)")
     ap.add_argument("--no-guidance", action="store_true",
                     help="disable all guided steps (guidance-share A/B)")
+    ap.add_argument("--safe", action="store_true",
+                    help="safety mode: sc-filtered goals + safety-aware "
+                    "selection (docs/assist_study.md best arm)")
     ap.add_argument("--direct", action="store_true",
                     help="run in-process (no watchdog subprocess)")
     ap.add_argument("--oneshot-json", action="store_true",
@@ -421,7 +430,7 @@ def main():
         out = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
                       args.bf16, args.use_pallas, args.batch,
                       args.no_guidance, args.guidance_engine,
-                      args.ddim_guidance_period)
+                      args.ddim_guidance_period, args.safe)
         print(json.dumps(out))
         return
 
@@ -437,7 +446,7 @@ def main():
         head = run_tpu(args.scenes, args.reps, args.sampler, args.ddim_steps,
                        args.bf16, args.use_pallas, args.batch,
                        args.no_guidance, args.guidance_engine,
-                       args.ddim_guidance_period)
+                       args.ddim_guidance_period, args.safe)
     else:
         # default (driver) path: watchdog + fresh-shape fallback so a
         # poisoned program hash cannot hang the round's bench record
@@ -453,6 +462,8 @@ def main():
                 f.append("--use-pallas")
             if args.no_guidance:
                 f.append("--no-guidance")
+            if args.safe:
+                f.append("--safe")
             return f
 
         head = measure([flags(args.scenes), flags(args.scenes + 6),
@@ -478,6 +489,8 @@ def main():
         metric += f"_g{head['guidance_engine']}"
     if head.get("no_guidance"):
         metric += "_noguide"
+    if head.get("safe"):
+        metric += "_safe"
     line = {"metric": metric, "value": head["scenes_per_sec"],
             "unit": "scenes/s",
             "vs_baseline": round(vs, 2) if vs else None,

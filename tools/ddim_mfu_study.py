@@ -72,6 +72,15 @@ def main(argv=None):
             base + ["--scenes", str(s), "--no-guidance"],
             alts=[base + ["--scenes", str(s + 1), "--no-guidance"]])
     run("ddpm_S21", ["--scenes", "21"], alts=[["--scenes", "22"]])
+    # safety-mode throughput cost (docs/assist_study.md best arm): goal
+    # filtering + safety-aware selection are per-call fixed work, so their
+    # share is largest exactly in fast mode
+    run("ddpm_safe_S21", ["--scenes", "21", "--safe"],
+        alts=[["--scenes", "22", "--safe"]])
+    sbest = folds[-1]
+    run(f"ddim{args.ddim_steps}_safe_S{sbest}",
+        base + ["--scenes", str(sbest), "--safe"],
+        alts=[base + ["--scenes", str(sbest + 1), "--safe"]])
 
     # ---- decomposition: t_call(S) = f + S * c  for the guided DDIM rows --
     sweep = [r for r in rows if r["tag"].startswith(
