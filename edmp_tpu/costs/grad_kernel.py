@@ -210,6 +210,67 @@ def lane_major_guidance_grad(q, olo, ohi, w_iv, w_sv):
     return gq
 
 
+def lane_major_swept_cost(q, olo, ohi):
+    """Forward-only lane-major TOTAL swept volume per lane column.
+
+    q : list of 7 (W, B) joint planes (endpoints INCLUDED); olo/ohi : lists
+    of 3 (O, B) obstacle AABB planes.  Returns (B,).
+
+    This is the selection metric (lib/guide.py:637-653) in the guidance
+    kernel's layout: the round-4 device trace (results_r4/trace_ddim16)
+    showed the naive ``(..., 3, 3)``-layout selection chain materialising
+    ~50 MB of FK intermediates and costing ~2 ms/scene OUT of the sampler
+    scan — 5% of a DDPM call but ~45% of the DDIM-16 fast mode.  The
+    lane-major forward is the same dataflow the in-scan gradient runs at
+    ~0.3 ms per step.
+    """
+    Rs, ps, _ = _fk_forward(q)
+    total = 0.0
+    for l in range(9):
+        j = int(_LJ[l])
+        R, p = _joint_frame(Rs, ps, j)
+        A, t, h = _LR[l], _LT[l], _LH[l]
+        rw = [[R[i][0] * float(A[0, k]) + R[i][1] * float(A[1, k])
+               + R[i][2] * float(A[2, k]) for k in range(3)]
+              for i in range(3)]
+        c = [p[i] + R[i][0] * float(t[0]) + R[i][1] * float(t[1])
+             + R[i][2] * float(t[2]) for i in range(3)]
+        e = [jnp.abs(rw[i][0]) * float(h[0]) + jnp.abs(rw[i][1]) * float(h[1])
+             + jnp.abs(rw[i][2]) * float(h[2]) for i in range(3)]
+        vol = None
+        for k in range(3):
+            lo = c[k] - e[k]
+            hi = c[k] + e[k]
+            slo = jnp.minimum(lo[:-1], lo[1:])       # (W-1, B)
+            shi = jnp.maximum(hi[:-1], hi[1:])
+            ck = jnp.maximum(
+                jnp.minimum(shi, ohi[k][:, None, :])
+                - jnp.maximum(slo, olo[k][:, None, :]), 0.0)  # (O, W-1, B)
+            vol = ck if vol is None else vol * ck
+        total = total + jnp.sum(vol, axis=(0, 1))
+    return total
+
+
+def swept_cost_per_sample_fast(trajs, scene):
+    """Selection metric on FULL trajectories (B, N, 7) -> (B,), lane-major.
+
+    Equivalent to guide.swept_cost_per_sample(trajs[:, 1:-1], start, goal,
+    scene) when trajs carry the pinned endpoints in rows 0/-1 (the sampler
+    guarantees this) — verified elementwise in tests/test_grad_kernel.py.
+    """
+    from edmp_tpu.costs.obstacles import obstacle_aabbs
+
+    obs_lo, obs_hi = obstacle_aabbs(scene)           # (B|1, O, 3)
+    if obs_lo.ndim == 2:
+        obs_lo, obs_hi = obs_lo[None], obs_hi[None]
+    qT = jnp.transpose(trajs, (2, 1, 0))             # (7, W, B)
+    oloT = jnp.transpose(obs_lo, (1, 2, 0))          # (O, 3, B|1)
+    ohiT = jnp.transpose(obs_hi, (1, 2, 0))
+    olo = [oloT[:, k, :] for k in range(3)]
+    ohi = [ohiT[:, k, :] for k in range(3)]
+    return lane_major_swept_cost([qT[j] for j in range(7)], olo, ohi)
+
+
 def lane_major_obstacle_planes(centersT, absrotT, dimsT, expansion, clearance):
     """Per-step obstacle AABB planes from PRE-TRANSPOSED scene params.
 

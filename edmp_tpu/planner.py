@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from edmp_tpu import constants as C
-from edmp_tpu.costs.guide import (GuideParams, ik_goal_volumes,
-                                  swept_cost_per_sample)
+from edmp_tpu.costs.grad_kernel import swept_cost_per_sample_fast
+from edmp_tpu.costs.guide import GuideParams, ik_goal_volumes
 from edmp_tpu.costs.obstacles import SceneObstacles
 from edmp_tpu.diffusion.sampler import denoise_guided, denoise_guided_ddim
 from edmp_tpu.diffusion.schedule import DiffusionSchedule
@@ -167,7 +167,9 @@ def plan(
     trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
                          goal, rng, cfg, cfg.batch_size)
 
-    costs = swept_cost_per_sample(trajs[:, 1:-1, :], start, goal, scene)
+    # lane-major selection metric: same swept volume, ~40x cheaper layout
+    # (docs/ddim_mfu.md out-of-scan finding)
+    costs = swept_cost_per_sample_fast(trajs, scene)
     if cfg.safety_aware_selection:
         from edmp_tpu.costs.assist import trajectory_safety_penalties
 
@@ -258,8 +260,7 @@ def plan_scenes(
     trajs = _run_sampler(apply_fn, params, schedule, sample_scene,
                          guide_folded, start_s, goal_s, rng, cfg, S * B)
 
-    costs = swept_cost_per_sample(trajs[:, 1:-1, :], start_s, goal_s,
-                                  sample_scene)
+    costs = swept_cost_per_sample_fast(trajs, sample_scene)
     if cfg.safety_aware_selection:
         from edmp_tpu.costs.assist import trajectory_safety_penalties
 
@@ -327,7 +328,7 @@ def make_large_batch_plan_fn(model, schedule: DiffusionSchedule,
                            cfg.volume_trust_region, cfg.sc_filter_goals)
         trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
                              goal, rng, cfg, cfg.batch_size)
-        costs = swept_cost_per_sample(trajs[:, 1:-1, :], start, goal, scene)
+        costs = swept_cost_per_sample_fast(trajs, scene)
         if cfg.safety_aware_selection:
             from edmp_tpu.costs.assist import trajectory_safety_penalties
 

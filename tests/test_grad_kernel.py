@@ -57,3 +57,37 @@ def test_manual_jits(rng):
     g = f(joints, start, goal, lo, hi, gp)
     assert g.shape == joints.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_lane_major_swept_cost_matches_reference_engine(rng):
+    """swept_cost_per_sample_fast == guide.swept_cost_per_sample on pinned
+    trajectories (the planner's selection metric), shared AND per-sample
+    scenes."""
+    import jax.numpy as jnp
+
+    from edmp_tpu.costs.grad_kernel import swept_cost_per_sample_fast
+    from edmp_tpu.costs.guide import swept_cost_per_sample
+    from edmp_tpu.costs.obstacles import pack_scene, tile_scene_per_sample
+
+    B, N = 6, 12
+    trajs = rng.uniform(-1.2, 1.2, (B, N, 7)).astype(np.float32)
+    start = trajs[0, 0].copy()
+    goal = trajs[0, -1].copy()
+    trajs[:, 0] = start  # pinned endpoints, as the sampler guarantees
+    trajs[:, -1] = goal
+    scene = pack_scene(
+        np.array([[0.4, 0.0, 0.4, 0, 0, 0, 1, 0.5, 0.6, 0.5],
+                  [-0.3, 0.2, 0.6, 0, 0, 0, 1, 0.3, 0.3, 0.3]]),
+        max_obstacles=4)
+    want = np.asarray(swept_cost_per_sample(
+        jnp.asarray(trajs[:, 1:-1]), jnp.asarray(start), jnp.asarray(goal),
+        scene))
+    got = np.asarray(swept_cost_per_sample_fast(jnp.asarray(trajs), scene))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+    assert want.max() > 0  # the scene actually intersects
+
+    per_sample = tile_scene_per_sample(
+        jax.tree.map(lambda x: x[None], scene), B)  # (1*B, O, ...)
+    got2 = np.asarray(swept_cost_per_sample_fast(jnp.asarray(trajs),
+                                                 per_sample))
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=1e-7)

@@ -113,6 +113,37 @@ def test_guided_zero_gradient_scene_is_nan_free():
     assert bool(jnp.all(jnp.isfinite(x)))
 
 
+def test_ddim_guidance_period_zero_disables_guidance():
+    """guidance_period <= 0 must skip every guided update (the bench
+    --no-guidance A/B for the DDIM path)."""
+    T, B, N = 16, 2, 8
+    sch = make_schedule(T)
+    scene = pack_scene(np.array([[0.45, 0, 0.55, 0, 0, 0, 1, 0.5, 0.9, 0.7]]))
+    base = dict(clearance=jnp.zeros((B, T)), expansion=jnp.zeros((B, T)),
+                guidance_method=jnp.zeros(B), grad_norm=jnp.zeros(B))
+    start, goal = jnp.zeros(7), jnp.ones(7) * 0.2
+    key = jax.random.key(4)
+    on = S.denoise_guided_ddim(
+        _dummy_apply, None, sch, scene,
+        GuideParams(**base, guidance_schedule=jnp.full((B, T), 2.0)),
+        start, goal, key, batch_size=B, traj_len=N, num_steps=8,
+        guidance_period=1)
+    off = S.denoise_guided_ddim(
+        _dummy_apply, None, sch, scene,
+        GuideParams(**base, guidance_schedule=jnp.full((B, T), 2.0)),
+        start, goal, key, batch_size=B, traj_len=N, num_steps=8,
+        guidance_period=0)
+    zero_scale = S.denoise_guided_ddim(
+        _dummy_apply, None, sch, scene,
+        GuideParams(**base, guidance_schedule=jnp.zeros((B, T))),
+        start, goal, key, batch_size=B, traj_len=N, num_steps=8,
+        guidance_period=1)
+    # period-0 == guidance absent; with a live scale they must differ
+    np.testing.assert_allclose(np.asarray(off), np.asarray(zero_scale),
+                               atol=1e-6)
+    assert np.abs(np.asarray(on) - np.asarray(off)).max() > 1e-4
+
+
 def test_q_sample_conditioning_and_stats(rng):
     sch = make_schedule(255)
     x0 = jnp.asarray(rng.normal(0, 0.5, (64, 20, 7)), jnp.float32)

@@ -56,6 +56,12 @@ def main(argv=None):
         if out is None:
             print(f"[skip] {tag}: all attempts timed out", flush=True)
             return None
+        if out.get("mfu_pct", 0) and out["mfu_pct"] > 100:
+            # tunnel anomaly: an execution answered without running (seen
+            # once: 41912 scenes/s "measured") — discard, do not regress on it
+            print(f"[discard] {tag}: implausible mfu {out['mfu_pct']}",
+                  flush=True)
+            return None
         out["tag"] = tag
         rows.append(out)
         print(json.dumps(out), flush=True)
