@@ -156,20 +156,27 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
         guidance_engine, ddim_guidance_period, safe)
     fn = P.make_batched_plan_fn(model, sch, cfg)
 
-    # XLA cost analysis needs the AOT lower().compile() path, which has been
-    # observed to hang through the remote-compile tunnel — opt-in only.
-    # (The analytic FLOP model is the authoritative count regardless; see
-    # tests/test_flops.py and the scan-body note above.)
+    # XLA cost analysis PER CONFIG: Lowered.cost_analysis() runs the HLO
+    # cost model locally (no remote device compile), so every
+    # bench_details.json row carries the cross-check figure.  Remember the
+    # scan-body caveat: XLA counts each lax.scan body ONCE, not times trip
+    # count, so this is a program-BODY number — the analytic model below is
+    # the authoritative per-scene count (tests/test_flops.py).
     xla_flops = None
     call = fn
+    try:
+        ca = fn.lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        if ca and ca.get("flops"):
+            xla_flops = float(ca["flops"])
+    except Exception:
+        pass
+    # full AOT compile stays opt-in: it has been observed to hang through
+    # the remote-compile tunnel
     if os.environ.get("EDMP_BENCH_AOT"):
         try:
             compiled = fn.lower(*args).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            if ca and ca.get("flops"):
-                xla_flops = float(ca["flops"])
             call = compiled
         except Exception:
             pass
