@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--rollout-length", type=int, default=69)
     ap.add_argument("--ckpt-dir", default=None,
                     help="save final params as <dir>/policy_params.npz")
+    ap.add_argument("--batch-pool", type=int, default=0,
+                    help="pre-generate this many batches and cycle them: "
+                    "host-side cloud sampling is ~100 ms/example, which "
+                    "starves the device when generated per step")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -69,12 +73,25 @@ def main(argv=None):
             val_rng, args.batch, num_robot_points=args.robot_points,
             num_obstacle_points=args.obstacle_points).items()}
 
+    pool = None
+    if args.batch_pool:
+        t0 = time.time()
+        pool = [{k: jnp.asarray(v) for k, v in policy_batch(
+            rng, args.batch, num_robot_points=args.robot_points,
+            num_obstacle_points=args.obstacle_points).items()}
+            for _ in range(args.batch_pool)]
+        print(f"pool: {args.batch_pool} batches in {time.time() - t0:.0f}s",
+              flush=True)
+
     t0 = time.time()
     window = []
     for i in range(args.steps):
-        batch = {k: jnp.asarray(v) for k, v in policy_batch(
-            rng, args.batch, num_robot_points=args.robot_points,
-            num_obstacle_points=args.obstacle_points).items()}
+        if pool is not None:
+            batch = pool[i % len(pool)]
+        else:
+            batch = {k: jnp.asarray(v) for k, v in policy_batch(
+                rng, args.batch, num_robot_points=args.robot_points,
+                num_obstacle_points=args.obstacle_points).items()}
         state, log = step(state, batch)
         window.append(float(log["val_loss"]))
         if (i + 1) % args.log_every == 0:

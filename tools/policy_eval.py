@@ -34,8 +34,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="policy_eval")
     ap.add_argument("--scenes", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--params", default=os.path.join(
-        REPO, "results_r3", "policy_train", "policy_params.npz"))
+    default_params = os.path.join(REPO, "results_r4", "policy_train",
+                                  "policy_params.npz")
+    if not os.path.exists(default_params):  # fall back to the r3 checkpoint
+        default_params = os.path.join(REPO, "results_r3", "policy_train",
+                                      "policy_params.npz")
+    ap.add_argument("--params", default=default_params)
     ap.add_argument("--rollout-length", type=int, default=69)
     ap.add_argument("--robot-points", type=int, default=1024)
     ap.add_argument("--obstacle-points", type=int, default=1024)
@@ -112,7 +116,14 @@ def main(argv=None):
     for path in args.diffusion_spools.split(","):
         if not os.path.exists(path):
             continue
-        recs = [json.loads(l) for l in open(path)]
+        by_idx = {}
+        for l in open(path):
+            try:
+                r = json.loads(l)
+            except json.JSONDecodeError:
+                continue
+            by_idx[r["scene_index"]] = r  # last-wins (SweepState semantics)
+        recs = [by_idx[i] for i in sorted(by_idx)]
         ms = [r["metrics"] for r in recs if r.get("metrics")]
         n = len(ms)
         diffusion_rows.append({
@@ -162,7 +173,7 @@ def main(argv=None):
         lines.append(
             f"| diffusion ({r['tag']}) | {r['protocol_success_pct']:.1f} | "
             f"{r['within_5cm_pct']:.1f} | {r['mean_pos_err_m']:.5f} | "
-            f"{r['env_collision_pct']:.1f} | ~24 (DDPM-255) / ~204 "
+            f"{r['env_collision_pct']:.1f} | 25.6 (DDPM-255) / 363 "
             "(DDIM-16) |")
     lines += [
         "",

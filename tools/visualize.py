@@ -175,6 +175,8 @@ def main(argv=None):
         REPO, "models", "synthetic_v3", "weights_inference.npz"))
     ap.add_argument("--assist-sc", type=float, default=None)
     ap.add_argument("--assist-jl", type=float, default=None)
+    ap.add_argument("--sc-filter-goals", action="store_true")
+    ap.add_argument("--safe-selection", action="store_true")
     ap.add_argument("--n-rejected", type=int, default=8,
                     help="faint EE paths of this many rejected samples")
     ap.add_argument("--out", default="viz.png")
@@ -230,7 +232,9 @@ def main(argv=None):
         target, jnp.asarray(seeds, jnp.float32))
     goals, valid = sols.reshape(-1, 7), ok.reshape(-1)
 
-    cfg = P.PlannerConfig(batch_size=B)
+    cfg = P.PlannerConfig(batch_size=B,
+                          sc_filter_goals=args.sc_filter_goals,
+                          safety_aware_selection=args.safe_selection)
     plan_fn = P.make_plan_fn(model, sch, cfg)
     scene = pack_scene(obs_cfg)
     rng = jax.random.fold_in(jax.random.key(args.seed), i)
@@ -240,9 +244,11 @@ def main(argv=None):
     order = np.argsort(np.asarray(res.swept_costs))
     rej = np.asarray(res.trajectories)[
         order[1:1 + args.n_rejected]] if args.n_rejected else None
+    safety_on = (args.assist_sc or args.assist_jl or args.sc_filter_goals
+                 or args.safe_selection)
     render(obs_cfg, best, rej, out=args.out,
            title=args.title or f"scene {i} (seed {args.seed}"
-           f"{', assist' if args.assist_sc or args.assist_jl else ''})")
+           f"{', safety' if safety_on else ''})")
     return 0
 
 
