@@ -347,9 +347,28 @@ def _alt_scenes(flags_fn, scene_options):
     return [flags_fn(s) for s in scene_options]
 
 
-def run_suite(reps):
-    """The full measured matrix -> bench_details.json (every config through
-    the watchdog with scene-count fallbacks)."""
+def run_suite(reps, quick=False):
+    """The measured matrix -> bench_details.json (every config through the
+    watchdog with scene-count fallbacks; the file is rewritten after EVERY
+    config, so a timeout/kill keeps the completed rows).  ``quick`` runs the
+    6 headline configs only."""
+    if quick:
+        specs = [
+            _alt_scenes(lambda s: ["--scenes", str(s)], (21, 22)),
+            _alt_scenes(lambda s: ["--scenes", str(s), "--safe"], (21, 22)),
+            _alt_scenes(lambda s: ["--scenes", str(s), "--sampler", "ddim",
+                                   "--ddim-steps", "16",
+                                   "--ddim-guidance-period", "2"], (21, 22)),
+            _alt_scenes(lambda s: ["--scenes", str(s), "--sampler", "ddim",
+                                   "--ddim-steps", "16",
+                                   "--ddim-guidance-period", "2", "--safe"],
+                        (21, 22)),
+            [["--scenes", "1", "--batch", "1200"],
+             ["--scenes", "1", "--batch", "1216"]],
+            _alt_scenes(lambda s: ["--scenes", str(s), "--no-guidance"],
+                        (21, 22)),
+        ]
+        return _run_specs(specs, reps)
     specs = [
         _alt_scenes(lambda s: ["--scenes", str(s)], (6, 7)),
         _alt_scenes(lambda s: ["--scenes", str(s)], (9, 10)),
@@ -372,17 +391,21 @@ def run_suite(reps):
         _alt_scenes(
             lambda s: ["--scenes", str(s), "--sampler", "ddim"], (6, 7)),
     ]
+    return _run_specs(specs, reps)
+
+
+def _run_specs(specs, reps):
     details = {"configs": []}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            details["serial_baseline"] = json.load(f)
     for attempts in specs:
         out = measure(attempts, reps)
         if out is not None:
             details["configs"].append(out)
             print(json.dumps(out), flush=True)
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            details["serial_baseline"] = json.load(f)
-    with open(DETAILS_FILE, "w") as f:
-        json.dump(details, f, indent=1)
+            with open(DETAILS_FILE, "w") as f:  # crash-safe incremental
+                json.dump(details, f, indent=1)
     return details
 
 
@@ -397,6 +420,8 @@ def main():
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--suite", action="store_true",
                     help="run the full matrix and write bench_details.json")
+    ap.add_argument("--suite-quick", action="store_true",
+                    help="6 headline configs only (crash-safe incremental)")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=32)
     ap.add_argument("--ddim-guidance-period", type=int, default=1,
@@ -441,8 +466,8 @@ def main():
         print(json.dumps(out))
         return
 
-    if args.suite:
-        details = run_suite(args.reps)
+    if args.suite or args.suite_quick:
+        details = run_suite(args.reps, quick=args.suite_quick)
         if not details["configs"]:
             print(json.dumps({"metric": "scenes_per_sec_cfg1", "value": None,
                               "unit": "scenes/s", "vs_baseline": None,
