@@ -37,8 +37,10 @@ def test_rehearsal_end_to_end(tmp_path):
     --evaluate, and check every scene spooled with protocol metrics."""
     from tools.dress_rehearsal import run
 
-    out = run(str(tmp_path), T=16, traj_len=14, n_per_cell=1,
-              scenes_per_batch=4)
+    # toy T but the CANONICAL horizon: the 6-level UNet's crop rules are
+    # authored for the 50 -> 25 -> 13 -> 7 -> 4 -> 2 pyramid
+    out = run(str(tmp_path), T=16, traj_len=50, n_per_cell=1,
+              scenes_per_batch=6, guide_ids=(1, 11), batch_per_guide=2)
     assert out["n_scenes"] == 12  # 4 scene types x 3 problem types x 1
     recs = [json.loads(l) for l in open(out["spool"])]
     assert {r["scene_type"] for r in recs} == {
@@ -61,4 +63,6 @@ def test_rehearsal_end_to_end(tmp_path):
                              os.path.join(str(tmp_path), "results"),
                              "--tag", "rehearsal", "--evaluate"])
     assert rc in (0, None)
-    assert json.loads(buf.getvalue())["resumed"] is True
+    text = buf.getvalue()
+    summary = json.loads(text[text.index("{"):])  # skip the dataset prints
+    assert summary["resumed"] is True

@@ -124,7 +124,13 @@ def fabricate_checkpoint(models_dir: str, T: int = 255, traj_len: int = 50,
     from diffusion.models.temporalunet import TemporalUNet
 
     model_dir = os.path.join(models_dir, f"TemporalUNetModel{T}_N{traj_len}")
-    os.makedirs(model_dir, exist_ok=True)
+    # create only the PARENT: the reference ctor mkdirs a fresh model dir
+    # itself and AUTO-LOADS from an existing one (temporalunet.py:39-44) —
+    # pre-creating it would route construction through load()
+    os.makedirs(models_dir, exist_ok=True)
+    if os.path.isdir(model_dir) and not os.path.exists(
+            os.path.join(model_dir, "losses.npy")):
+        os.rmdir(model_dir)  # half-made dir from an aborted run
     torch.manual_seed(seed)
     net = TemporalUNet(model_dir, 7, 32, "cpu", (32, 64, 128, 256, 512, 512))
     torch.save(net.state_dict(), os.path.join(model_dir,
@@ -193,7 +199,8 @@ def fabricate_pickle(out_dir: str, dataset_type: str = "global",
 
 def run(workdir: str, T: int = 255, traj_len: int = 50, n_per_cell: int = 1,
         scenes_per_batch: int = 4, seed: int = 0,
-        sampler: str = "ddpm", ddim_steps: int = 32) -> dict:
+        sampler: str = "ddpm", ddim_steps: int = 32,
+        guide_ids=(1, 2, 10, 11), batch_per_guide: int = 5) -> dict:
     """Fabricate artifacts, then convert + infer --evaluate end to end.
     Returns the sweep summary dict."""
     import json
@@ -214,10 +221,10 @@ def run(workdir: str, T: int = 255, traj_len: int = 50, n_per_cell: int = 1,
     npz = os.path.join(workdir, "global.npz")
     assert cv_cli.main(["dataset", pkl, npz]) in (0, None)
 
-    write_guide_yamls(os.path.join(workdir, "guides"),
-                      [1, 2, 10, 11])
+    write_guide_yamls(os.path.join(workdir, "guides"), list(guide_ids))
     cfg = {
-        "guide": {"guides": [1, 2, 10, 11], "batch_size_per_guide": 5,
+        "guide": {"guides": list(guide_ids),
+                  "batch_size_per_guide": batch_per_guide,
                   "guide_path": os.path.join(workdir, "guides")},
         "dataset": {"path": os.path.join(workdir, "datasets") + "/",
                     "dataset_type": "global",
