@@ -172,6 +172,14 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
             xla_flops = float(ca["flops"])
     except Exception:
         pass
+    if xla_flops is None:
+        # the axon PJRT plugin returns None from client-side cost analysis;
+        # lower the IDENTICAL program for the CPU backend in a subprocess
+        # (abstract lowering only — nothing executes) and read the HLO cost
+        # model there
+        xla_flops = _cpu_cost_analysis(
+            n_scenes, sampler, ddim_steps, bf16, use_pallas, batch,
+            no_guidance, guidance_engine, ddim_guidance_period, safe)
     # full AOT compile stays opt-in: it has been observed to hang through
     # the remote-compile tunnel
     if os.environ.get("EDMP_BENCH_AOT"):
@@ -231,6 +239,40 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
         out["peak_tflops_bf16"] = peak
         out["mfu_pct"] = round(100.0 * tflops / peak, 2)
     return out
+
+
+def _cpu_cost_analysis(*workload_args, timeout_s=240):
+    """HLO cost-model flops of the plan program, via a CPU-backend
+    subprocess (abstract lowering, no execution)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import json, sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "from edmp_tpu import planner as P\n"
+        "model, sch, cfg, args = bench.build_workload(*json.loads(sys.argv[1]))\n"
+        "fn = P.make_batched_plan_fn(model, sch, cfg)\n"
+        "ca = fn.lower(*args).cost_analysis()\n"
+        "if isinstance(ca, (list, tuple)): ca = ca[0] if ca else {}\n"
+        "print('FLOPS', (ca or {}).get('flops'))\n"
+    ) % HERE
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code, json.dumps(list(workload_args))],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        for ln in (p.stdout or "").splitlines():
+            if ln.startswith("FLOPS ") and ln.split()[1] != "None":
+                return float(ln.split()[1])
+    except Exception:
+        pass
+    return None
 
 
 def run_serial_baseline():

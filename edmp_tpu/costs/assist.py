@@ -122,6 +122,76 @@ def joint_limit_cost(joints, margin: float = DEFAULT_JL_MARGIN):
     return jnp.sum(over * over + under * under)
 
 
+def _lane_major_capsule_depths(trajs):
+    """Summed capsule penetration depth per sample, lane-major: (B, N, 7)
+    -> (B,).
+
+    Same capsule model as :func:`capsule_clearances`, in the guidance
+    kernel's batch-last scalar-of-arrays dataflow (grad_kernel.py): the
+    naive ``(..., 9, 3, 3)`` layout materialises ~50 MB FK intermediates
+    per call and cost the fast+safe mode ~33% (docs/ddim_mfu.md lesson,
+    applied to the safety-selection path).  Endpoints per capsule are
+    ``p ± R[:, axis] * half_len`` — one rotation COLUMN per link, never the
+    full matrix.
+    """
+    from edmp_tpu.costs.grad_kernel import _fk_forward, _joint_frame
+    from edmp_tpu.costs.grad_kernel import _LJ as LJ
+    from edmp_tpu.costs.grad_kernel import _LR as LR
+    from edmp_tpu.costs.grad_kernel import _LT as LT
+
+    qT = jnp.transpose(trajs, (2, 1, 0))             # (7, W, B)
+    Rs, ps, _ = _fk_forward([qT[j] for j in range(7)])
+    ends = []                                        # per link: (a0, a1)
+    for l in range(9):
+        j = int(LJ[l])
+        R, p = _joint_frame(Rs, ps, j)
+        A, t = LR[l], LT[l]
+        ax = int(_AXIS[l])
+        hl = float(_HALF_LEN[l])
+        a0, a1 = [], []
+        for i in range(3):
+            # box center and world axis column (R_joint @ A)[:, ax]
+            c = p[i] + R[i][0] * float(t[0]) + R[i][1] * float(t[1]) \
+                + R[i][2] * float(t[2])
+            d = (R[i][0] * float(A[0, ax]) + R[i][1] * float(A[1, ax])
+                 + R[i][2] * float(A[2, ax])) * hl
+            a0.append(c - d)
+            a1.append(c + d)
+        ends.append((a0, a1))
+
+    def seg_dist(pa, pb):
+        """(a0, a1) plane-triples x2 -> min segment distance (W, B)."""
+        (a0, a1), (b0, b1) = pa, pb
+        d1 = [a1[k] - a0[k] for k in range(3)]
+        d2 = [b1[k] - b0[k] for k in range(3)]
+        r = [a0[k] - b0[k] for k in range(3)]
+        dot = lambda u, v: u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+        a = dot(d1, d1)
+        e = dot(d2, d2)
+        f = dot(d2, r)
+        c = dot(d1, r)
+        b = dot(d1, d2)
+        eps = 1e-12
+        denom = a * e - b * b
+        s = jnp.where(denom > eps,
+                      jnp.clip((b * f - c * e) / jnp.maximum(denom, eps),
+                               0.0, 1.0), 0.0)
+        t_ = jnp.clip((b * s + f) / jnp.maximum(e, eps), 0.0, 1.0)
+        s = jnp.clip((b * t_ - c) / jnp.maximum(a, eps), 0.0, 1.0)
+        d2sum = 0.0
+        for k in range(3):
+            diff = (a0[k] + s * d1[k]) - (b0[k] + t_ * d2[k])
+            d2sum = d2sum + diff * diff
+        return jnp.sqrt(d2sum + eps)
+
+    depth = 0.0
+    for i, j in SELF_PAIRS:
+        d = seg_dist(ends[i], ends[j])               # (W, B)
+        rsum = float(CAPSULE_RADIUS[i] + CAPSULE_RADIUS[j])
+        depth = depth + jnp.sum(jnp.maximum(rsum - d, 0.0), axis=0)
+    return depth                                      # (B,)
+
+
 def min_clearance_per_config(joints):
     """Min capsule clearance over pairs, (..., 7) -> (...).  Negative =
     self-collision.  Used by goal filtering and safety-aware selection."""
@@ -149,8 +219,7 @@ def trajectory_safety_penalties(trajs, swept_costs=None, penalty: float = 1e3):
     obstacle quality for capsule cleanliness: env collisions rose
     14% -> 22% while self-collisions fell.
     """
-    cl = capsule_clearances(trajs)                       # (B, N, P)
-    sc_depth = jnp.sum(jnp.maximum(-cl, 0.0), axis=(1, 2))
+    sc_depth = _lane_major_capsule_depths(trajs)         # (B,)
     lo = jnp.asarray(_LOWER, trajs.dtype)
     hi = jnp.asarray(_UPPER, trajs.dtype)
     jl_depth = jnp.sum(jnp.maximum(trajs - hi, 0.0)

@@ -264,3 +264,20 @@ def test_plan_scenes_with_assist_weights(toy_model_fixture=None):
                         goals, valid, jax.random.key(0), cfg)
     assert res.best.shape == (Ssc, N, 7)
     assert bool(jnp.all(jnp.isfinite(res.best)))
+
+
+def test_lane_major_capsule_depths_match_naive(rng):
+    """The lane-major safety-penalty depth == sum of naive capsule
+    penetrations (selection-path speedup, docs/ddim_mfu.md lesson)."""
+    from edmp_tpu.costs.assist import (_lane_major_capsule_depths,
+                                       capsule_clearances)
+
+    trajs = jnp.asarray(np.concatenate([
+        rng.uniform(-2.0, 2.0, (5, 6, 7)),
+        np.tile(_SC_BAD, (2, 6, 1)),
+    ]), jnp.float32)
+    naive = np.asarray(jnp.sum(jnp.maximum(-capsule_clearances(trajs), 0.0),
+                               axis=(1, 2)))
+    lane = np.asarray(_lane_major_capsule_depths(trajs))
+    assert naive.max() > 0  # penetrating rows exist
+    np.testing.assert_allclose(lane, naive, rtol=1e-4, atol=1e-6)
