@@ -42,6 +42,10 @@ def main(argv=None):
                     "docs/oracle_calibration.md)")
     ap.add_argument("--evaluate", action="store_true",
                     help="run the full MPiNets metric protocol per scene")
+    ap.add_argument("--retry-failed", type=int, default=0,
+                    help="reseed-retry rounds over failed scenes (fresh "
+                    "sampling noise + IK seeds; a retry replaces the spooled "
+                    "record only when strictly better)")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=32)
     ap.add_argument("--ddim-guidance-period", type=int, default=1,
@@ -202,6 +206,7 @@ def main(argv=None):
         seed=args.seed,
         results_dir=results_dir,
         full_evaluation=args.evaluate,
+        retry_failed=args.retry_failed,
     )
 
     # all local chips participate: scenes shard over a 1-axis mesh (the

@@ -59,6 +59,14 @@ class SweepConfig:
     # run the full MPiNets metric protocol (position/orientation buckets,
     # SPARC, path lengths) per scene in addition to the success oracle
     full_evaluation: bool = False
+    # adaptive reseed-retry: after the main pass, re-plan scenes that FAILED
+    # (strict protocol when full_evaluation, else the collision oracle) up to
+    # this many extra rounds, each with fresh sampling/IK-seed randomness.
+    # A retry's result replaces the spooled record only when strictly better
+    # (success over failure, then lower swept cost), so success is monotone
+    # in retry rounds.  Beyond the reference (infer_serial.py plans each
+    # scene exactly once); this is the production failure-recovery loop.
+    retry_failed: int = 0
 
 
 @dataclasses.dataclass
@@ -79,6 +87,9 @@ class SceneResult:
     # fallback, 'failed' = no valid goal found (scene counted as a skip in
     # the evaluator, mpinets/metrics.py:487-491 semantics)
     ik_fallback: Optional[str] = None
+    # which reseed-retry round produced this record (0 = the main pass);
+    # spool resume is last-line-wins, so a later attempt supersedes
+    attempt: int = 0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -109,6 +120,9 @@ class SweepState:
         # wins/successes from this when present instead of re-deriving host-side
         self.device_per_guide: Optional[Dict[int, dict]] = None
         self.device_success_total: Optional[int] = None
+        # the protocol Evaluator of the most recent run_sweep on this state
+        # (None unless full_evaluation); retries replace entries in place
+        self.evaluator = None
 
     def record(self, result: SceneResult) -> None:
         with self._lock:
@@ -265,7 +279,7 @@ def run_sweep(
     if max_scenes is not None:
         indices = indices[:max_scenes]
     pending = state.pending(indices)
-    if len(pending) == 0:
+    if len(pending) == 0 and not sweep_cfg.retry_failed:
         return state
 
     Sb = sweep_cfg.scenes_per_batch
@@ -288,6 +302,9 @@ def run_sweep(
         from edmp_tpu.metrics.evaluator import Evaluator
 
         evaluator = Evaluator(substeps=sweep_cfg.substeps)
+    # exposed for group save/aggregate (Evaluator.save/from_files) and for
+    # asserting retry replacement semantics; None unless full_evaluation
+    state.evaluator = evaluator
 
     # bounded: at 20+ scenes/s with --evaluate the oracle thread can lag the
     # dispatcher arbitrarily; backpressure (put blocks) caps the host-memory
@@ -302,9 +319,20 @@ def run_sweep(
     pg_min_fn = jax.jit(
         lambda c: c.reshape(c.shape[0], H, bpg).min(axis=2)) if H else None
 
+    def _strictness(rec: dict):
+        """Ordering key for retry replacement: strict protocol success, then
+        oracle success, then lower swept cost."""
+        m = rec.get("metrics")
+        strict = bool(m["protocol_success"]) if m else bool(rec["success"])
+        return (strict, bool(rec["success"]), -float(rec["swept_cost"]))
+
+    # scene index -> position of its evaluation in evaluator.results, so a
+    # winning retry REPLACES the protocol entry instead of double-counting
+    eval_pos: Dict[int, int] = {}
+
     def _validate_and_record(item):
-        idx, best, goal, cost, dt, best_i, pg_min_row, ik_fb = item
-        if evaluator is not None and ik_fb == "failed":
+        idx, best, goal, cost, dt, best_i, pg_min_row, ik_fb, attempt = item
+        if evaluator is not None and ik_fb == "failed" and attempt == 0:
             evaluator.record_skip(int(idx), "no_ik_solution")
         obs_cfg = dataset.scene_obstacle_config(int(idx))
         t_oracle = time.perf_counter()
@@ -341,7 +369,7 @@ def run_sweep(
             winning_guide = int(guide_ids[int(best_i) // bpg])
             per_guide_cost = {str(g): float(c)
                               for g, c in zip(guide_ids, pg_min_row)}
-        state.record(SceneResult(
+        result = SceneResult(
             scene_index=int(idx),
             scene_type=SCENE_TYPES[st_id] if 0 <= st_id < 4 else "unknown",
             success=bool(ok),
@@ -352,18 +380,41 @@ def run_sweep(
             winning_guide=winning_guide,
             per_guide_min_cost=per_guide_cost,
             ik_fallback=ik_fb,
-        ))
+            attempt=int(attempt),
+        )
+        if attempt:
+            prev = state.completed.get(int(idx))
+            keep_new = prev is None or _strictness(
+                dataclasses.asdict(result)) > _strictness(prev)
+            if evaluator is not None and metrics is not None:
+                ev = evaluator.results.pop()  # this attempt's evaluation
+                if keep_new:
+                    if int(idx) in eval_pos:
+                        evaluator.results[eval_pos[int(idx)]] = ev
+                    else:  # main pass was an IK skip; first real evaluation
+                        eval_pos[int(idx)] = len(evaluator.results)
+                        evaluator.results.append(ev)
+            if not keep_new:
+                state.timings.append(
+                    {"plan": float(dt), "oracle": oracle_dt})
+                return  # retry not better: keep the spooled record
+        elif evaluator is not None and metrics is not None:
+            eval_pos[int(idx)] = len(evaluator.results) - 1
+        state.record(result)
         state.timings.append({"plan": float(dt), "oracle": oracle_dt})
 
     def validator():
         while True:
             item = results_q.get()
             if item is None:
+                results_q.task_done()
                 return
             try:
                 _validate_and_record(item)
             except BaseException as e:  # keep draining; re-raised at join
                 validator_errors.append(e)
+            finally:
+                results_q.task_done()
 
     worker = None
     if sweep_cfg.oracle_threads:
@@ -376,7 +427,7 @@ def run_sweep(
             return
         _validate_and_record(item)
 
-    def dispatch(chunk):
+    def dispatch(chunk, attempt=0):
         """Enqueue one chunk's device work (async — no host sync here)."""
         pad = Sb - len(chunk)
         idx = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
@@ -388,8 +439,12 @@ def run_sweep(
         # q7 sweep seeds keyed by (sweep seed, GLOBAL scene index): identical
         # regardless of chunk order, resume point, or host slice
         def _scene_seeds(i):
-            r = np.random.default_rng(
-                (sweep_cfg.seed, int(i) + scene_index_offset))
+            # attempt==0 keeps the historical (seed, global_index) keying so
+            # existing spools stay scene-for-scene reproducible; retries add
+            # the round to the key for fresh IK q7 seeds
+            key = ((sweep_cfg.seed, int(i) + scene_index_offset) if not attempt
+                   else (sweep_cfg.seed, attempt, int(i) + scene_index_offset))
+            r = np.random.default_rng(key)
             return np.concatenate([
                 r.uniform(-C.Q7_RANGE, C.Q7_RANGE, sweep_cfg.n_q7_seeds // 2),
                 np.linspace(-C.Q7_RANGE, C.Q7_RANGE,
@@ -426,12 +481,14 @@ def run_sweep(
                     ik_status[int(row)] = "failed"
         sub = jax.random.fold_in(jax.random.key(sweep_cfg.seed),
                                  int(chunk[0]) + scene_index_offset)
+        if attempt:  # fresh sampling noise per retry round
+            sub = jax.random.fold_in(sub, attempt)
         res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
-        return chunk, res, time.perf_counter(), ik_status
+        return chunk, res, time.perf_counter(), ik_status, attempt
 
     def drain(inflight):
         """Materialize one dispatched chunk and hand results to the oracle."""
-        chunk, res, t0, ik_status = inflight
+        chunk, res, t0, ik_status, attempt = inflight
         best = np.asarray(res.best)       # blocks until the device finishes
         goal_np = np.asarray(res.goal)
         best_idx = np.asarray(res.best_index)
@@ -443,19 +500,45 @@ def run_sweep(
         for row, scene_i in enumerate(chunk):
             record_host((scene_i, best[row], goal_np[row],
                          pg_min[row].min(), dt, best_idx[row], pg_min[row],
-                         ik_status.get(row)))
+                         ik_status.get(row), attempt))
 
-    # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
-    # overlap chunk k's device execution and oracle validation
-    chunks = [pending[lo:lo + Sb] for lo in range(0, len(pending), Sb)]
-    inflight = None
-    for chunk in chunks:
-        nxt = dispatch(chunk)
+    def run_pass(idxs, attempt=0):
+        # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
+        # overlap chunk k's device execution and oracle validation
+        chunks = [idxs[lo:lo + Sb] for lo in range(0, len(idxs), Sb)]
+        inflight = None
+        for chunk in chunks:
+            nxt = dispatch(chunk, attempt)
+            if inflight is not None:
+                drain(inflight)
+            inflight = nxt
         if inflight is not None:
             drain(inflight)
-        inflight = nxt
-    if inflight is not None:
-        drain(inflight)
+
+    def failed_indices():
+        """Scenes (from this run's index set) whose current record is a
+        failure — strict protocol when full_evaluation, else the oracle.
+        IK-skip scenes are excluded (no goal to replan toward)."""
+        out = []
+        for i in indices:
+            rec = state.completed.get(int(i))
+            if rec is None or rec.get("ik_fallback") == "failed":
+                continue
+            m = rec.get("metrics")
+            ok = (m["protocol_success"] if (m and sweep_cfg.full_evaluation)
+                  else rec["success"])
+            if not ok:
+                out.append(int(i))
+        return np.asarray(out, np.int64)
+
+    run_pass(pending, 0)
+    for attempt in range(1, sweep_cfg.retry_failed + 1):
+        if worker is not None:
+            results_q.join()  # completed must reflect the previous pass
+        retry = failed_indices()
+        if len(retry) == 0:
+            break
+        run_pass(retry, attempt)
 
     if worker is not None:
         results_q.put(None)

@@ -218,7 +218,7 @@ def test_validate_policy_metrics(rng):
 
 def test_policy_params_npz_roundtrip(tmp_path):
     """save_policy_params -> load_policy_params restores the exact pytree
-    (the consumability contract for results_r3/policy_train checkpoints)."""
+    (the consumability contract for results_r4/policy_train checkpoints)."""
     import jax
 
     from edmp_tpu.models.policy import (init_policy, load_policy_params,
