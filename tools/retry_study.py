@@ -21,7 +21,6 @@ Writes docs/retry_study.md + results_r4/retry_study.json.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
