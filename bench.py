@@ -241,9 +241,15 @@ def run_tpu(n_scenes, reps, sampler="ddpm", ddim_steps=32, bf16=False,
     return out
 
 
-def _cpu_cost_analysis(*workload_args, timeout_s=240):
+def _cpu_cost_analysis(*workload_args, timeout_s=480):
     """HLO cost-model flops of the plan program, via a CPU-backend
-    subprocess (abstract lowering, no execution)."""
+    subprocess (abstract lowering, no execution).
+
+    Failures are LOUD (r4 verdict item: the round-4 version swallowed every
+    exception and silently left flops_xla_program_body null in
+    bench_details.json): the subprocess's stderr tail and the failure mode
+    are printed to stderr, and the caller records the null knowingly.
+    """
     import subprocess
     import sys
 
@@ -263,15 +269,28 @@ def _cpu_cost_analysis(*workload_args, timeout_s=240):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    def _loud(reason):
+        print(f"[flops] cpu cost-analysis FAILED ({reason}); "
+              f"flops_xla_program_body will be null for this row",
+              file=sys.stderr, flush=True)
+
     try:
         p = subprocess.run(
             [sys.executable, "-c", code, json.dumps(list(workload_args))],
             capture_output=True, text=True, timeout=timeout_s, env=env)
-        for ln in (p.stdout or "").splitlines():
-            if ln.startswith("FLOPS ") and ln.split()[1] != "None":
-                return float(ln.split()[1])
-    except Exception:
-        pass
+    except subprocess.TimeoutExpired:
+        _loud(f"timeout after {timeout_s}s")
+        return None
+    except Exception as e:
+        _loud(f"{type(e).__name__}: {e}")
+        return None
+    for ln in (p.stdout or "").splitlines():
+        if ln.startswith("FLOPS ") and ln.split()[1] != "None":
+            return float(ln.split()[1])
+    tail = (p.stderr or "").strip().splitlines()[-3:]
+    _loud(f"rc={p.returncode}, no FLOPS line; stderr tail: "
+          + " | ".join(tail))
     return None
 
 

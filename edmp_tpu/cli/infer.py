@@ -46,6 +46,13 @@ def main(argv=None):
                     help="reseed-retry rounds over failed scenes (fresh "
                     "sampling noise + IK seeds; a retry replaces the spooled "
                     "record only when strictly better)")
+    ap.add_argument("--retry-ladder", default=None,
+                    help="escalating retry ladder, e.g. "
+                    "'mult=2;mult=4,clear=0.02,envw=0.3,sampler=ddpm' — "
+                    "round k uses entry k (knobs: mult=batch multiplier, "
+                    "clear=clearance bump m, envw=SDF-clearance weight, "
+                    "sampler, steps, spb).  Implies at least that many "
+                    "retry rounds")
     ap.add_argument("--sampler", choices=["ddpm", "ddim"], default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=32)
     ap.add_argument("--ddim-guidance-period", type=int, default=1,
@@ -60,6 +67,15 @@ def main(argv=None):
     ap.add_argument("--assist-jl", type=float, default=None,
                     help="enable the joint-limit hinge guidance term at "
                     "this weight for ALL samples")
+    ap.add_argument("--assist-clear", type=float, default=None,
+                    help="enable the exact-SDF environment-clearance hinge "
+                    "(costs/clearance.py) at this step weight for ALL "
+                    "samples")
+    ap.add_argument("--clearance-bump", type=float, default=None,
+                    help="additive bump (m) on every guide's obstacle-"
+                    "clearance schedule — the conservative-margin mode for "
+                    "link-geometry uncertainty "
+                    "(docs/link_dims_sensitivity.md)")
     ap.add_argument("--sc-filter-goals", action="store_true",
                     help="reject self-colliding IK goal candidates before "
                     "the trust-region filter (docs/assist_study.md)")
@@ -108,6 +124,11 @@ def main(argv=None):
                                    if args.assist_sc else None),
             joint_limit_weight=(jnp.full(B, args.assist_jl, jnp.float32)
                                 if args.assist_jl else None))
+    if args.assist_clear:
+        gp = gp._replace(env_clearance_weight=jnp.full(
+            cfg.total_batch_size, args.assist_clear, jnp.float32))
+    if args.clearance_bump:
+        gp = gp._replace(clearance=gp.clearance + args.clearance_bump)
 
     # dataset resolution FIRST (cheap) — model init/compile is minutes on a
     # tunneled chip, so fail fast on a missing dataset
@@ -165,7 +186,11 @@ def main(argv=None):
     n_target = len(dataset) if args.max_scenes is None else min(
         len(dataset), args.max_scenes)
     probe = SweepState(results_dir, tag)
-    if len(probe.pending(range(n_target))) == 0:
+    # the early-exit must NOT trigger when retries are requested: resuming a
+    # COMPLETED spool with --retry-failed/--retry-ladder is the production
+    # way to re-attack its failures (run_sweep's retry loop handles it)
+    if (args.retry_failed == 0 and args.retry_ladder is None
+            and len(probe.pending(range(n_target))) == 0):
         summary = probe.summary()
         summary["resumed"] = True
         print(json.dumps(summary, indent=2))
@@ -200,6 +225,8 @@ def main(argv=None):
                                guidance_engine=args.guidance_engine,
                                sc_filter_goals=args.sc_filter_goals,
                                safety_aware_selection=args.safe_selection)
+    from edmp_tpu.parallel.sweep import parse_retry_ladder
+
     sweep_cfg = SweepConfig(
         scenes_per_batch=args.scenes_per_batch,
         substeps=args.substeps,
@@ -207,6 +234,8 @@ def main(argv=None):
         results_dir=results_dir,
         full_evaluation=args.evaluate,
         retry_failed=args.retry_failed,
+        retry_ladder=(parse_retry_ladder(args.retry_ladder)
+                      if args.retry_ladder else None),
     )
 
     # all local chips participate: scenes shard over a 1-axis mesh (the

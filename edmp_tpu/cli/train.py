@@ -10,6 +10,7 @@ smooth trajectories for smoke runs.  Checkpointing: orbax (full train state)
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -17,6 +18,12 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="edmp-train")
     ap.add_argument("--data", default=None, help="path to train.hdf5")
+    ap.add_argument("--data-npz", default=None,
+                    help="npz trajectory corpus dir/file (tools/distill.py "
+                    "shards: trajectories (M, N, 7))")
+    ap.add_argument("--smooth-mix", type=float, default=0.0,
+                    help="fraction of each --data-npz batch drawn from the "
+                    "smoothstep generator (regularizer)")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--steps", type=int, default=50000)
     ap.add_argument("--batch", type=int, default=2048)
@@ -56,6 +63,27 @@ def main(argv=None):
         batches = ds.batches(args.batch, rng)
         print(f"training on {ds.num_trajectories} trajectories "
               f"({ds.key}), horizon {ds.traj_len}")
+    elif args.data_npz:
+        import glob
+
+        paths = (sorted(glob.glob(os.path.join(args.data_npz, "trajs_*.npz")))
+                 if os.path.isdir(args.data_npz) else [args.data_npz])
+        corpus = np.concatenate(
+            [np.load(p)["trajectories"] for p in paths]).astype(np.float32)
+        n_smooth = int(args.batch * args.smooth_mix)
+        print(f"training on {len(corpus)} distilled trajectories "
+              f"({len(paths)} shard(s)), smooth-mix {n_smooth}/{args.batch}")
+
+        def corpus_batches():
+            while True:
+                idx = rng.integers(0, len(corpus), args.batch - n_smooth)
+                batch = corpus[idx]
+                if n_smooth:
+                    batch = np.concatenate(
+                        [batch,
+                         smooth_trajectories(rng, n_smooth, args.traj_len)])
+                yield batch
+        batches = corpus_batches()
     elif args.synthetic:
         def synthetic_batches():
             while True:

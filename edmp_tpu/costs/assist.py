@@ -198,19 +198,37 @@ def min_clearance_per_config(joints):
     return jnp.min(capsule_clearances(joints), axis=-1)
 
 
-def trajectory_safety_penalties(trajs, swept_costs=None, penalty: float = 1e3):
-    """Per-sample selection penalties: self-collision, joint-limit and
-    (when ``swept_costs`` is given) predicted-env-collision violations.
+# violation-class bits for the selection mask (spooled per scene so safe-
+# mode records stay cost-comparable with unsafe ones — the penalty and the
+# raw swept cost are recorded SEPARATELY)
+VIOLATION_SELF_COLLISION = 1
+VIOLATION_JOINT_LIMIT = 2
+VIOLATION_ENV_PREDICTED = 4
+VIOLATION_NAMES = {VIOLATION_SELF_COLLISION: "self_collision",
+                   VIOLATION_JOINT_LIMIT: "joint_limit",
+                   VIOLATION_ENV_PREDICTED: "env_predicted"}
 
-    trajs : (B, N, 7) FULL trajectories (endpoints included).  Returns (B,)
-    — 0 for samples clean on every axis, >= ``penalty`` per violated axis,
-    scaled by the violation depth so among all-dirty batches the least-
-    violating sample still wins.  Raw swept obstacle costs are O(1e-2), so
-    the penalty dominates them: selection becomes class-hierarchical —
-    fully-clean samples beat single-violation samples beat multi-violation
-    ones, with min swept volume breaking ties within a class (the
-    batch-is-the-fix design: with 120 samples/scene, steering only has to
-    make SOME samples clean, not all).
+
+def violation_class_names(mask: int):
+    """Decode a violation bitmask into its class names (spool field)."""
+    return [name for bit, name in sorted(VIOLATION_NAMES.items())
+            if int(mask) & bit]
+
+
+def safety_penalty_terms(trajs, swept_costs=None, penalty: float = 1e3):
+    """Per-sample selection penalties + violation-class bitmask.
+
+    trajs : (B, N, 7) FULL trajectories (endpoints included).  Returns
+    ``(pen, mask)``: ``pen`` (B,) is 0 for samples clean on every axis and
+    >= ``penalty`` per violated axis, scaled by the violation depth so among
+    all-dirty batches the least-violating sample still wins; ``mask`` (B,)
+    int32 carries one bit per violated class (VIOLATION_* constants).  Raw
+    swept obstacle costs are O(1e-2), so the penalty dominates them:
+    selection becomes class-hierarchical — fully-clean samples beat
+    single-violation samples beat multi-violation ones, with min swept
+    volume breaking ties within a class (the batch-is-the-fix design: with
+    120 samples/scene, steering only has to make SOME samples clean, not
+    all).
 
     The env term uses the swept-volume signal itself: zero swept volume on
     the conservative AABB-hull model GUARANTEES a collision-free path, so
@@ -224,11 +242,22 @@ def trajectory_safety_penalties(trajs, swept_costs=None, penalty: float = 1e3):
     hi = jnp.asarray(_UPPER, trajs.dtype)
     jl_depth = jnp.sum(jnp.maximum(trajs - hi, 0.0)
                        + jnp.maximum(lo - trajs, 0.0), axis=(1, 2))
-    pen = (penalty * jnp.minimum(1.0 + sc_depth, 2.0) * (sc_depth > 0)
-           + penalty * jnp.minimum(1.0 + jl_depth, 2.0) * (jl_depth > 0))
+    sc_bad = sc_depth > 0
+    jl_bad = jl_depth > 0
+    pen = (penalty * jnp.minimum(1.0 + sc_depth, 2.0) * sc_bad
+           + penalty * jnp.minimum(1.0 + jl_depth, 2.0) * jl_bad)
+    mask = (VIOLATION_SELF_COLLISION * sc_bad.astype(jnp.int32)
+            + VIOLATION_JOINT_LIMIT * jl_bad.astype(jnp.int32))
     if swept_costs is not None:
-        pen = pen + penalty * (swept_costs > 0.0)
-    return pen
+        env_bad = swept_costs > 0.0
+        pen = pen + penalty * env_bad
+        mask = mask + VIOLATION_ENV_PREDICTED * env_bad.astype(jnp.int32)
+    return pen, mask
+
+
+def trajectory_safety_penalties(trajs, swept_costs=None, penalty: float = 1e3):
+    """Penalty-only wrapper of :func:`safety_penalty_terms`."""
+    return safety_penalty_terms(trajs, swept_costs, penalty)[0]
 
 
 def has_assist(guide) -> bool:

@@ -49,6 +49,9 @@ class GuideParams(NamedTuple):
     # program is byte-identical to a GuideParams without these fields.
     self_collision_weight: jnp.ndarray | None = None   # (B,) or None
     joint_limit_weight: jnp.ndarray | None = None      # (B,) or None
+    # exact-SDF environment-clearance hinge (costs/clearance.py): per-sample
+    # gradient step weight.  None (default) statically elides the term.
+    env_clearance_weight: jnp.ndarray | None = None    # (B,) or None
 
     @property
     def batch(self) -> int:

@@ -28,11 +28,17 @@ class SceneObstacles(NamedTuple):
     centers : (O, 3) float
     abs_rot : (O, 3, 3) float  — elementwise |R| of the obstacle rotation
     dims    : (O, 3) float     — full box extents (cylinders already boxed)
+    rot     : (O, 3, 3) float or None — the FULL obstacle rotation; only
+              needed by the exact-SDF clearance guide term
+              (costs/clearance.py).  None keeps pre-round-5 pytrees valid
+              (None is an empty pytree node, so programs that never touch
+              it are byte-identical).
     """
 
     centers: jnp.ndarray
     abs_rot: jnp.ndarray
     dims: jnp.ndarray
+    rot: jnp.ndarray | None = None
 
     @property
     def max_obstacles(self) -> int:
@@ -82,6 +88,7 @@ def pack_scene(obstacle_config: np.ndarray, max_obstacles: int | None = None,
         centers=jnp.asarray(centers, dtype=dtype),
         abs_rot=jnp.asarray(np.abs(rots), dtype=dtype),
         dims=jnp.asarray(dims, dtype=dtype),
+        rot=jnp.asarray(rots, dtype=dtype),
     )
 
 
@@ -131,4 +138,6 @@ def tile_scene_per_sample(scenes: SceneObstacles, samples_per_scene: int
         centers=jnp.repeat(scenes.centers, samples_per_scene, axis=0),
         abs_rot=jnp.repeat(scenes.abs_rot, samples_per_scene, axis=0),
         dims=jnp.repeat(scenes.dims, samples_per_scene, axis=0),
+        rot=(None if scenes.rot is None
+             else jnp.repeat(scenes.rot, samples_per_scene, axis=0)),
     )

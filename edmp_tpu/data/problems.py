@@ -356,6 +356,34 @@ class PackedDataset:
         return self.select(
             np.nonzero(self.scene_type_id == SCENE_TYPES.index(scene_type))[0])
 
+    @classmethod
+    def concatenate(cls, parts: Sequence["PackedDataset"]) -> "PackedDataset":
+        """Stack datasets along the scene axis (obstacle padding widths may
+        differ; the result pads to the widest)."""
+        parts = list(parts)
+        if not parts:
+            raise ValueError("concatenate of zero datasets")
+        o_max = max(p.obstacles.shape[1] for p in parts)
+
+        def pad_obs(p):
+            o = p.obstacles
+            if o.shape[1] == o_max:
+                return o
+            pad = np.zeros((o.shape[0], o_max - o.shape[1], 10), o.dtype)
+            pad[:, :, 6] = 1.0  # identity quat for padding rows
+            return np.concatenate([o, pad], axis=1)
+
+        return cls(
+            np.concatenate([pad_obs(p) for p in parts]),
+            np.concatenate([p.n_obstacles for p in parts]),
+            np.concatenate([p.q0 for p in parts]),
+            np.concatenate([p.target for p in parts]),
+            np.concatenate([p.scene_type_id for p in parts]),
+            np.concatenate([p.problem_type_id for p in parts]),
+            np.concatenate([p.target_volume for p in parts]),
+            np.concatenate([p.negative_volumes for p in parts]),
+            np.concatenate([p.n_negative for p in parts]))
+
 
 def convert_reference_dataset(pickle_path: str, out_path: str) -> PackedDataset:
     """One-shot ingestion: reference pickle -> packed npz."""

@@ -55,6 +55,38 @@ def random_safe_joint_config(rng: np.random.Generator,
     raise RuntimeError("rejection sampling failed (200 draws)")
 
 
+def region_volumes_for_target(target_pose: np.ndarray,
+                              box: float = 0.08, offset: float = 0.16):
+    """Typed target/negative region rows for a synthetic problem.
+
+    The MPiNets problems carry a ``target_volume`` the final EE must lie
+    inside plus ``target_negative_volumes`` it must avoid — e.g. the right
+    drawer of a dresser, not the one above it (mpinets/types.py:41-45,
+    checked at mpinets/metrics.py:388-407).  Synthetic problems get the
+    same shape of data so the protocol's region AND-term is exercised
+    end-to-end: a ``box``-sized cuboid centred on the target position, and
+    two cubby-style negative volumes stacked directly above and below it
+    (the "wrong shelf" a badly-converged plan would reach into).
+
+    Derived DETERMINISTICALLY from the target pose — no RNG draws — so
+    datasets generated before this existed (e.g. the committed 128-scene v2
+    protocol corpus, seed 0) reproduce scene-for-scene with region rows
+    added.  Returns (target_volume (11,), negative_volumes (2, 11)).
+    """
+    p = np.asarray(target_pose, np.float64)[:3, 3]
+    quat = np.array([0.0, 0.0, 0.0, 1.0])
+
+    def cuboid_row(center):
+        return np.concatenate([[1.0], center, quat, [box, box, box]])
+
+    target = cuboid_row(p)
+    negatives = np.stack([
+        cuboid_row(p + np.array([0.0, 0.0, offset])),
+        cuboid_row(p - np.array([0.0, 0.0, offset])),
+    ])
+    return target, negatives
+
+
 def random_problem(rng: np.random.Generator, n_obstacles: int = 6,
                    n_ik_goals: int = 16):
     """A full synthetic planning problem.
@@ -112,11 +144,13 @@ def synthetic_packed_dataset(rng: np.random.Generator, n_scenes: int,
         # host-side FK: eager jnp ops are pathologically slow on remote
         # (tunneled) backends — one tiny compile per op
         target = numpy_ee_transform(goal)
+        tvol, nvol = region_volumes_for_target(target)
         problems.append(Problem(
             target_pose=target, q0=q0, obstacle_config=oc,
             cuboid_config=oc, cylinder_config=np.zeros((0, 9)),
             scene_type=SCENE_TYPES[i % len(SCENE_TYPES)],
-            problem_type="task_oriented"))
+            problem_type="task_oriented",
+            target_volume=tvol, negative_volumes=nvol))
     return PackedDataset.from_problems(problems)
 
 
@@ -251,12 +285,15 @@ def hard_scene_dataset(rng: np.random.Generator, n_scenes: int,
         if out is None:
             continue
         oc, q0, q_goal = out
+        target = numpy_ee_transform(q_goal)
+        tvol, nvol = region_volumes_for_target(target)
         problems.append(Problem(
-            target_pose=numpy_ee_transform(q_goal), q0=q0,
+            target_pose=target, q0=q0,
             obstacle_config=oc, cuboid_config=oc,
             cylinder_config=np.zeros((0, 9)),
             scene_type="merged_cubby" if two else "cubby",
-            problem_type="task_oriented"))
+            problem_type="task_oriented",
+            target_volume=tvol, negative_volumes=nvol))
     return PackedDataset.from_problems(problems)
 
 
@@ -316,11 +353,14 @@ def cluttered_scene_dataset(rng: np.random.Generator, n_scenes: int,
         dense = q0[None, :] + np.linspace(0, 1, 24)[:, None] * (q_goal - q0)
         if not any(oracle.config_in_collision(q, oc) for q in dense[1:-1]):
             continue
+        target = numpy_ee_transform(q_goal)
+        tvol, nvol = region_volumes_for_target(target)
         problems.append(Problem(
-            target_pose=numpy_ee_transform(q_goal), q0=q0,
+            target_pose=target, q0=q0,
             obstacle_config=oc, cuboid_config=oc,
             cylinder_config=np.zeros((0, 9)),
-            scene_type="dresser", problem_type="task_oriented"))
+            scene_type="dresser", problem_type="task_oriented",
+            target_volume=tvol, negative_volumes=nvol))
     return PackedDataset.from_problems(problems)
 
 

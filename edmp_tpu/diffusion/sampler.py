@@ -88,18 +88,27 @@ def clip_joints(joints):
     return jnp.clip(joints, _LOWER, _UPPER)
 
 
-def _with_assist(guided_update, guide):
+def _with_assist(guided_update, guide, scene=None):
     """Chain the self-collision/joint-limit assist update (costs/assist.py)
-    onto a guided step.  No-assist ensembles (both weights None) return the
+    and the exact-SDF env-clearance update (costs/clearance.py) onto a
+    guided step.  Ensembles with every assist weight None return the
     original function — the compiled program is unchanged."""
     from edmp_tpu.costs.assist import make_assist_update
+    from edmp_tpu.costs.clearance import make_clearance_update
 
     assist = make_assist_update(guide)
-    if assist is None:
+    clear = (make_clearance_update(guide, scene)
+             if scene is not None else None)
+    if assist is None and clear is None:
         return guided_update
 
     def update(x, t):
-        return assist(guided_update(x, t))
+        x = guided_update(x, t)
+        if assist is not None:
+            x = assist(x)
+        if clear is not None:
+            x = clear(x)
+        return x
 
     return update
 
@@ -195,7 +204,7 @@ def denoise_guided(
             scale = schedule_t[t - 1][:, None, None]
             return x.at[:, 1:-1, :].add(-scale * g)
 
-    guided_update = _with_assist(guided_update, guide)
+    guided_update = _with_assist(guided_update, guide, scene)
 
     if guidance_period == 2:
         # Fast path: the guided timesteps (even t >= guidance_min_t) are
@@ -312,7 +321,7 @@ def denoise_guided_ddim(
             scale = schedule_t[t - 1][:, None, None]
             return x.at[:, 1:-1, :].add(-scale * g)
 
-    guided_update = _with_assist(guided_update, guide)
+    guided_update = _with_assist(guided_update, guide, scene)
 
     def step(x, k):
         t = taus[k]

@@ -41,6 +41,65 @@ from edmp_tpu.validation.oracle import TrajectoryOracle
 
 
 @dataclasses.dataclass
+class RetryRound:
+    """One escalation step of the retry ladder (``SweepConfig.retry_ladder``).
+
+    Reseed-only retries (all defaults) redraw sampling noise + IK q7 seeds
+    with an otherwise identical configuration; the escalation knobs attack
+    the structurally-hard scenes the round-4 study showed survive pure
+    reseeding (docs/retry_study.md: 12/128 env-collision failures persist
+    through 3 reseeds):
+
+      * ``batch_mult``: multiply the sample budget (each guide's block of
+        the ensemble repeats, so per-guide attribution is preserved).
+      * ``clearance_bump``: additive bump (meters) on every guide's
+        obstacle-clearance schedule — earlier/stronger repulsion, the
+        per-sample knob the reference exposes via its guide YAMLs
+        (lib/guide.py:118-158).
+      * ``env_clearance_weight``: enable the exact-SDF clearance hinge
+        (costs/clearance.py) at this step weight for ALL samples.
+      * ``sampler`` / ``ddim_steps``: escalate the sampler (e.g. DDPM-255
+        when the main pass ran fast DDIM-16).
+      * ``scenes_per_batch``: smaller fold for the (few) retry scenes.
+
+    Each DISTINCT escalation configuration compiles its own device program
+    (one extra compile per distinct round on a cold process).
+    """
+
+    batch_mult: int = 1
+    clearance_bump: float = 0.0
+    env_clearance_weight: float = 0.0
+    sampler: Optional[str] = None
+    ddim_steps: Optional[int] = None
+    scenes_per_batch: Optional[int] = None
+
+
+def parse_retry_ladder(spec: str) -> List[RetryRound]:
+    """Parse a CLI ladder spec: rounds split by ';', knobs by ','.
+
+    Example: ``"mult=2;mult=4,clear=0.02;mult=4,envw=0.3,sampler=ddpm"``.
+    Knob keys: mult, clear, envw, sampler, steps, spb.
+    """
+    keymap = {"mult": ("batch_mult", int),
+              "clear": ("clearance_bump", float),
+              "envw": ("env_clearance_weight", float),
+              "sampler": ("sampler", str),
+              "steps": ("ddim_steps", int),
+              "spb": ("scenes_per_batch", int)}
+    rounds = []
+    for part in spec.split(";"):
+        part = part.strip()
+        kwargs = {}
+        if part:
+            for kv in part.split(","):
+                k, v = kv.split("=")
+                field, conv = keymap[k.strip()]
+                kwargs[field] = conv(v.strip())
+        rounds.append(RetryRound(**kwargs))
+    return rounds
+
+
+@dataclasses.dataclass
 class SweepConfig:
     # measured S-scaling optimum on v5e (docs/roofline.md): throughput rises
     # 21.4 (S=6) -> 23.7 (S=17) to a flat top at S=21-25 (24.4 scenes/s),
@@ -67,6 +126,11 @@ class SweepConfig:
     # in retry rounds.  Beyond the reference (infer_serial.py plans each
     # scene exactly once); this is the production failure-recovery loop.
     retry_failed: int = 0
+    # escalating retry ladder: round k (1-based) uses retry_ladder[k-1]
+    # (the last entry repeats beyond the list).  None = reseed-only retries.
+    # When set, at least len(retry_ladder) rounds run even if retry_failed
+    # is smaller.
+    retry_ladder: Optional[List[RetryRound]] = None
 
 
 @dataclasses.dataclass
@@ -90,6 +154,12 @@ class SceneResult:
     # which reseed-retry round produced this record (0 = the main pass);
     # spool resume is last-line-wins, so a later attempt supersedes
     attempt: int = 0
+    # safety-aware selection bookkeeping: ``swept_cost`` above is always the
+    # RAW swept volume of the selected sample (comparable across safe and
+    # unsafe runs); the 1e3-class selection penalty and its violated classes
+    # are recorded separately (costs/assist.VIOLATION_* semantics)
+    selection_penalty: float = 0.0
+    violation_classes: Optional[List[str]] = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -232,6 +302,15 @@ class SweepState:
         return out
 
 
+def _violation_names(mask: int):
+    """Spool field: decoded violation classes, or None for clean samples."""
+    if not mask:
+        return None
+    from edmp_tpu.costs.assist import violation_class_names
+
+    return violation_class_names(mask)
+
+
 def _ik_targets_fn():
     """jitted (targets (S,4,4), q7 seeds (S, n)) -> goals (S, n*8, 7), valid."""
 
@@ -278,8 +357,10 @@ def run_sweep(
     indices = np.arange(len(dataset))
     if max_scenes is not None:
         indices = indices[:max_scenes]
+    ladder = sweep_cfg.retry_ladder or []
+    n_retry_rounds = max(sweep_cfg.retry_failed, len(ladder))
     pending = state.pending(indices)
-    if len(pending) == 0 and not sweep_cfg.retry_failed:
+    if len(pending) == 0 and not n_retry_rounds:
         return state
 
     Sb = sweep_cfg.scenes_per_batch
@@ -313,25 +394,98 @@ def run_sweep(
     validator_errors: List[BaseException] = []
 
     H = len(guide_ids) if guide_ids else 0
-    bpg = plan_cfg.batch_size // H if H else 0
-    # per-guide min swept cost, computed on DEVICE from the (sharded) cost
-    # matrix — host code only formats the result
-    pg_min_fn = jax.jit(
-        lambda c: c.reshape(c.shape[0], H, bpg).min(axis=2)) if H else None
+
+    def _make_pg_min(bpg_r):
+        # per-guide min swept cost, computed on DEVICE from the (sharded)
+        # cost matrix — host code only formats the result
+        return jax.jit(
+            lambda c: c.reshape(c.shape[0], H, bpg_r).min(axis=2)) \
+            if H else None
+
+    class _Round:
+        """Per-attempt planning resources (the retry ladder's escalation)."""
+
+        def __init__(self, plan_fn, guide_r, Sb_r, bpg_r):
+            self.plan_fn = plan_fn
+            self.guide = guide_r
+            self.Sb = Sb_r
+            self.bpg = bpg_r
+            self.pg_min_fn = _make_pg_min(bpg_r)
+
+    def _tile_blocks(a, mult):
+        """Repeat each guide's row-block ``mult`` times (or the whole array
+        when no guide attribution is active)."""
+        if a is None or mult == 1:
+            return a
+        if H:
+            a2 = a.reshape((H, -1) + a.shape[1:])
+            return jnp.repeat(a2, mult, axis=1).reshape(
+                (-1,) + a.shape[1:])
+        return jnp.tile(a, (mult,) + (1,) * (a.ndim - 1))
+
+    base_round = _Round(plan_fn, guide, Sb,
+                        plan_cfg.batch_size // H if H else 0)
+    _round_cache: Dict[int, _Round] = {0: base_round}
+
+    def _round(attempt: int) -> _Round:
+        if attempt in _round_cache:
+            return _round_cache[attempt]
+        spec = ladder[min(attempt - 1, len(ladder) - 1)] if ladder else None
+        if spec is None:
+            r = base_round  # reseed-only retry: identical program
+        else:
+            mult = max(spec.batch_mult, 1)
+            g = GuideParams(*[_tile_blocks(a, mult) for a in guide])
+            if spec.clearance_bump:
+                g = g._replace(clearance=g.clearance + spec.clearance_bump)
+            B_r = plan_cfg.batch_size * mult
+            if spec.env_clearance_weight:
+                g = g._replace(env_clearance_weight=jnp.full(
+                    B_r, spec.env_clearance_weight, jnp.float32))
+            cfg_r = dataclasses.replace(
+                plan_cfg, batch_size=B_r,
+                sampler=spec.sampler or plan_cfg.sampler,
+                ddim_steps=spec.ddim_steps or plan_cfg.ddim_steps)
+            Sb_r = spec.scenes_per_batch or Sb
+            if mesh is not None and Sb_r % mesh.size != 0:
+                Sb_r = -(-Sb_r // mesh.size) * mesh.size
+            same_cfg = (cfg_r == plan_cfg and Sb_r == Sb
+                        and all(a is b for a, b in zip(g, guide)))
+            fn_r = plan_fn if same_cfg else P.make_batched_plan_fn(
+                model, schedule, cfg_r, mesh=mesh)
+            r = _Round(fn_r, g, Sb_r, cfg_r.batch_size // H if H else 0)
+        _round_cache[attempt] = r
+        return r
 
     def _strictness(rec: dict):
         """Ordering key for retry replacement: strict protocol success, then
-        oracle success, then lower swept cost."""
+        oracle success, then lower PENALIZED cost (raw swept volume plus the
+        safety selection penalty — the same metric selection minimizes)."""
         m = rec.get("metrics")
-        strict = bool(m["protocol_success"]) if m else bool(rec["success"])
-        return (strict, bool(rec["success"]), -float(rec["swept_cost"]))
+        if m is not None:
+            strict = bool(m["protocol_success"])
+        else:
+            # metrics-less records (resumed from a --evaluate-less spool)
+            # count as strict failures under full_evaluation so a retry can
+            # backfill their protocol metrics
+            strict = bool(rec["success"]) and not sweep_cfg.full_evaluation
+        cost = float(rec["swept_cost"]) + float(
+            rec.get("selection_penalty") or 0.0)
+        return (strict, bool(rec["success"]), -cost)
 
     # scene index -> position of its evaluation in evaluator.results, so a
     # winning retry REPLACES the protocol entry instead of double-counting
     eval_pos: Dict[int, int] = {}
 
     def _validate_and_record(item):
-        idx, best, goal, cost, dt, best_i, pg_min_row, ik_fb, attempt = item
+        (idx, best, goal, cost, dt, winning_guide, pg_min_row, sel_pen,
+         sel_mask, ik_fb, attempt) = item
+        if attempt and ik_fb == "failed":
+            # a retry whose fresh IK seeds failed planned toward a garbage
+            # masked-argmin goal; discard it instead of letting it compete
+            # for replacement (it could displace a valid-goal record and
+            # then be excluded from later rounds as an IK skip)
+            return
         if evaluator is not None and ik_fb == "failed" and attempt == 0:
             evaluator.record_skip(int(idx), "no_ik_solution")
         obs_cfg = dataset.scene_obstacle_config(int(idx))
@@ -363,10 +517,8 @@ def run_sweep(
                 "ee_path_length": ev.ee_path_length,
             }
         st_id = int(dataset.scene_type_id[int(idx)])
-        winning_guide = None
         per_guide_cost = None
         if H:
-            winning_guide = int(guide_ids[int(best_i) // bpg])
             per_guide_cost = {str(g): float(c)
                               for g, c in zip(guide_ids, pg_min_row)}
         result = SceneResult(
@@ -381,6 +533,8 @@ def run_sweep(
             per_guide_min_cost=per_guide_cost,
             ik_fallback=ik_fb,
             attempt=int(attempt),
+            selection_penalty=float(sel_pen),
+            violation_classes=_violation_names(int(sel_mask)),
         )
         if attempt:
             prev = state.completed.get(int(idx))
@@ -391,7 +545,11 @@ def run_sweep(
                 if keep_new:
                     if int(idx) in eval_pos:
                         evaluator.results[eval_pos[int(idx)]] = ev
-                    else:  # main pass was an IK skip; first real evaluation
+                    else:
+                        # covers resumed runs whose attempt-0 evaluations
+                        # live in a prior process's evaluator: this process
+                        # holds no entry for the scene yet (eval_pos empty),
+                        # so the winning retry appends its first one
                         eval_pos[int(idx)] = len(evaluator.results)
                         evaluator.results.append(ev)
             if not keep_new:
@@ -429,7 +587,8 @@ def run_sweep(
 
     def dispatch(chunk, attempt=0):
         """Enqueue one chunk's device work (async — no host sync here)."""
-        pad = Sb - len(chunk)
+        rr = _round(attempt)
+        pad = rr.Sb - len(chunk)
         idx = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
         scenes = stack_scenes(
             [pack_scene(dataset.scene_obstacle_config(int(i)),
@@ -483,29 +642,41 @@ def run_sweep(
                                  int(chunk[0]) + scene_index_offset)
         if attempt:  # fresh sampling noise per retry round
             sub = jax.random.fold_in(sub, attempt)
-        res = plan_fn(params, scenes, guide, starts, goals, valid, sub)
+        res = rr.plan_fn(params, scenes, rr.guide, starts, goals, valid, sub)
         return chunk, res, time.perf_counter(), ik_status, attempt
 
     def drain(inflight):
         """Materialize one dispatched chunk and hand results to the oracle."""
         chunk, res, t0, ik_status, attempt = inflight
+        rr = _round(attempt)
         best = np.asarray(res.best)       # blocks until the device finishes
         goal_np = np.asarray(res.goal)
         best_idx = np.asarray(res.best_index)
+        costs = np.asarray(res.swept_costs)          # (S, B) RAW swept
+        pens = np.asarray(res.penalties)
+        masks = np.asarray(res.violation_mask)
         if H:
-            pg_min = np.asarray(pg_min_fn(res.swept_costs))  # (S, H) device min
+            pg_min = np.asarray(rr.pg_min_fn(res.swept_costs))  # (S, H)
         else:
-            pg_min = np.asarray(res.swept_costs).min(axis=1, keepdims=True)
+            pg_min = costs.min(axis=1, keepdims=True)
         dt = (time.perf_counter() - t0) / max(len(chunk), 1)
+        rows = np.arange(costs.shape[0])
+        sel_cost = costs[rows, best_idx]
+        sel_pen = pens[rows, best_idx]
+        sel_mask = masks[rows, best_idx]
         for row, scene_i in enumerate(chunk):
+            winning_guide = (int(guide_ids[int(best_idx[row]) // rr.bpg])
+                             if H else None)
             record_host((scene_i, best[row], goal_np[row],
-                         pg_min[row].min(), dt, best_idx[row], pg_min[row],
+                         sel_cost[row], dt, winning_guide, pg_min[row],
+                         sel_pen[row], sel_mask[row],
                          ik_status.get(row), attempt))
 
     def run_pass(idxs, attempt=0):
         # one-deep dispatch pipeline: chunk k+1's host prep + device enqueue
         # overlap chunk k's device execution and oracle validation
-        chunks = [idxs[lo:lo + Sb] for lo in range(0, len(idxs), Sb)]
+        Sb_r = _round(attempt).Sb
+        chunks = [idxs[lo:lo + Sb_r] for lo in range(0, len(idxs), Sb_r)]
         inflight = None
         for chunk in chunks:
             nxt = dispatch(chunk, attempt)
@@ -518,21 +689,27 @@ def run_sweep(
     def failed_indices():
         """Scenes (from this run's index set) whose current record is a
         failure — strict protocol when full_evaluation, else the oracle.
-        IK-skip scenes are excluded (no goal to replan toward)."""
+        IK-skip scenes are excluded (no goal to replan toward).  Under
+        full_evaluation, records WITHOUT metrics (resumed from a spool
+        written without --evaluate) are retry candidates too: re-planning
+        them backfills their protocol metrics (and _strictness treats them
+        as strict failures, so a metrics-carrying retry can replace them)."""
         out = []
         for i in indices:
             rec = state.completed.get(int(i))
             if rec is None or rec.get("ik_fallback") == "failed":
                 continue
             m = rec.get("metrics")
-            ok = (m["protocol_success"] if (m and sweep_cfg.full_evaluation)
-                  else rec["success"])
+            if sweep_cfg.full_evaluation:
+                ok = bool(m["protocol_success"]) if m else False
+            else:
+                ok = rec["success"]
             if not ok:
                 out.append(int(i))
         return np.asarray(out, np.int64)
 
     run_pass(pending, 0)
-    for attempt in range(1, sweep_cfg.retry_failed + 1):
+    for attempt in range(1, n_retry_rounds + 1):
         if worker is not None:
             results_q.join()  # completed must reflect the previous pass
         retry = failed_indices()

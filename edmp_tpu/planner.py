@@ -111,7 +111,14 @@ class PlanResult(NamedTuple):
     best_index: jnp.ndarray    # () int
     trajectories: jnp.ndarray  # (B, N, 7) full batch
     goal: jnp.ndarray          # (7,) selected goal configuration
-    swept_costs: jnp.ndarray   # (B,) selection metric per sample
+    swept_costs: jnp.ndarray   # (B,) RAW swept volume per sample
+    # safety-aware selection extras: the selection metric is
+    # swept_costs + penalties (zeros when safety_aware_selection is off),
+    # and violation_mask carries per-sample VIOLATION_* class bits — the
+    # raw cost and the penalty are spooled SEPARATELY so safe/unsafe runs
+    # stay cost-comparable
+    penalties: jnp.ndarray      # (B,)
+    violation_mask: jnp.ndarray  # (B,) int32
 
 
 def select_goal(ik_goals, ik_valid, start, scene: SceneObstacles,
@@ -170,17 +177,16 @@ def plan(
     # lane-major selection metric: same swept volume, ~40x cheaper layout
     # (docs/ddim_mfu.md out-of-scan finding)
     costs = swept_cost_per_sample_fast(trajs, scene)
-    if cfg.safety_aware_selection:
-        from edmp_tpu.costs.assist import trajectory_safety_penalties
-
-        costs = costs + trajectory_safety_penalties(trajs, costs)
-    best_idx = jnp.argmin(costs)
+    pen, mask = _selection_penalties(trajs, costs, cfg)
+    best_idx = jnp.argmin(costs + pen)
     return PlanResult(
         best=trajs[best_idx],
         best_index=best_idx,
         trajectories=trajs,
         goal=goal,
         swept_costs=costs,
+        penalties=pen,
+        violation_mask=mask,
     )
 
 
@@ -199,12 +205,25 @@ def make_plan_fn(model, schedule: DiffusionSchedule, cfg: PlannerConfig,
     return jax.jit(fn) if jit else fn
 
 
+def _selection_penalties(trajs, costs, cfg: "PlannerConfig"):
+    """(penalties, violation_mask) for best-of-batch selection — zeros when
+    safety-aware selection is off (and XLA dead-code-eliminates the
+    additions)."""
+    if cfg.safety_aware_selection:
+        from edmp_tpu.costs.assist import safety_penalty_terms
+
+        return safety_penalty_terms(trajs, costs)
+    return jnp.zeros_like(costs), jnp.zeros(costs.shape, jnp.int32)
+
+
 class ScenesPlanResult(NamedTuple):
     best: jnp.ndarray          # (S, N, 7)
     best_index: jnp.ndarray    # (S,)
     trajectories: jnp.ndarray  # (S, B, N, 7)
     goal: jnp.ndarray          # (S, 7)
-    swept_costs: jnp.ndarray   # (S, B)
+    swept_costs: jnp.ndarray   # (S, B) RAW swept volume per sample
+    penalties: jnp.ndarray     # (S, B) selection penalties (see PlanResult)
+    violation_mask: jnp.ndarray  # (S, B) int32 VIOLATION_* class bits
 
 
 def plan_scenes(
@@ -253,6 +272,7 @@ def plan_scenes(
         guidance_schedule=jnp.tile(guide.guidance_schedule, (S, 1)),
         self_collision_weight=_tile_w(guide.self_collision_weight),
         joint_limit_weight=_tile_w(guide.joint_limit_weight),
+        env_clearance_weight=_tile_w(guide.env_clearance_weight),
     )
     start_s = jnp.repeat(starts, B, axis=0)
     goal_s = jnp.repeat(goals, B, axis=0)
@@ -261,18 +281,18 @@ def plan_scenes(
                          guide_folded, start_s, goal_s, rng, cfg, S * B)
 
     costs = swept_cost_per_sample_fast(trajs, sample_scene)
-    if cfg.safety_aware_selection:
-        from edmp_tpu.costs.assist import trajectory_safety_penalties
-
-        costs = costs + trajectory_safety_penalties(trajs, costs)
+    pen, mask = _selection_penalties(trajs, costs, cfg)
     costs = costs.reshape(S, B)
-    best_idx = jnp.argmin(costs, axis=1)
+    pen = pen.reshape(S, B)
+    mask = mask.reshape(S, B)
+    best_idx = jnp.argmin(costs + pen, axis=1)
     trajs = trajs.reshape(S, B, cfg.traj_len, cfg.num_channels)
     best = jnp.take_along_axis(
         trajs, best_idx[:, None, None, None], axis=1)[:, 0]
     return ScenesPlanResult(best=best, best_index=best_idx,
                             trajectories=trajs, goal=goals,
-                            swept_costs=costs)
+                            swept_costs=costs, penalties=pen,
+                            violation_mask=mask)
 
 
 def make_batched_plan_fn(model, schedule: DiffusionSchedule,
@@ -329,11 +349,8 @@ def make_large_batch_plan_fn(model, schedule: DiffusionSchedule,
         trajs = _run_sampler(apply_fn, params, schedule, scene, guide, start,
                              goal, rng, cfg, cfg.batch_size)
         costs = swept_cost_per_sample_fast(trajs, scene)
-        if cfg.safety_aware_selection:
-            from edmp_tpu.costs.assist import trajectory_safety_penalties
-
-            costs = costs + trajectory_safety_penalties(trajs, costs)
-        return trajs, costs, goal
+        pen, _ = _selection_penalties(trajs, costs, cfg)
+        return trajs, costs + pen, goal
 
     # batch axis sharded for per-sample arrays (guide hyperparameters and the
     # produced trajectories); scene/start/goals replicate

@@ -1,0 +1,230 @@
+"""Distill an expert trajectory corpus with the planner itself.
+
+The reference's prior is trained on the 6.5M-trajectory MPiNets expert
+corpus (training.py:24,51) — absent from this environment.  Round 4 left the
+flagship prior trained on random smoothstep blends (models/synthetic_v3),
+whose failure modes (window-threading cubbies floor at 0%,
+docs/ensemble_study.md; 12/128 structural env-collision failures,
+docs/retry_study.md) trace back to that trajectory-shape-free prior.
+
+This tool closes the loop: the 300+ scenes/s DDIM fast mode plans batches of
+120 samples over randomized scenes (clutter + narrow-window cubby families),
+and every sample that is PROVABLY clean is harvested:
+
+  * device-side: violation_mask == 0 (capsule self-collision free, within
+    joint limits) AND raw swept cost == 0 — zero swept volume on the
+    conservative AABB-hull model *guarantees* obstacle-collision freedom
+    (costs/guide.py swept cost semantics), so no oracle pass is needed per
+    sample; a C++-oracle audit of a random subsample cross-checks the claim.
+
+Scenes are generated host-side first (C++-oracle feasibility filters), then
+planned in folded device batches.  Output: sharded npz corpus
+(trajectories (M, 50, 7) float32, scene_id (M,)) plus a scene sidecar
+(obstacle configs, starts, goals) for policy behavior cloning
+(tools/policy BC, mpinets/model.py:94-352 counterpart).
+
+Run (TPU): python -m tools.distill --scenes 4000 --out results_r5/corpus
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(HERE, os.pardir))
+
+
+def build_scene_pool(rng, n_scenes, mix=(0.5, 0.3, 0.2), log=print):
+    """Mixed difficulty scene pool: (random feasible, clutter, windows)."""
+    from edmp_tpu.data.synthetic import (cluttered_scene_dataset,
+                                         hard_scene_dataset,
+                                         synthetic_packed_dataset)
+
+    n_rand = int(n_scenes * mix[0])
+    n_clut = int(n_scenes * mix[1])
+    n_hard = n_scenes - n_rand - n_clut
+    t0 = time.time()
+    parts = []
+    if n_rand:
+        parts.append(synthetic_packed_dataset(rng, n_rand))
+        log(f"random scenes: {n_rand} ({time.time()-t0:.0f}s)")
+    if n_clut:
+        parts.append(cluttered_scene_dataset(rng, n_clut))
+        log(f"clutter scenes: {n_clut} ({time.time()-t0:.0f}s)")
+    if n_hard:
+        # easier windows than the ensemble study's 0.13 — the corpus wants
+        # SOLVED threading examples, and the current prior rarely threads
+        # tight windows; 0.16-0.20 keeps yield while teaching the shape
+        parts.append(hard_scene_dataset(rng, n_hard,
+                                        window_half=0.18,
+                                        two_walls_frac=0.3))
+        log(f"window scenes: {n_hard} ({time.time()-t0:.0f}s)")
+    from edmp_tpu.data.problems import PackedDataset
+
+    return PackedDataset.concatenate(parts)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="distill")
+    ap.add_argument("--scenes", type=int, default=4000)
+    ap.add_argument("--per-scene", type=int, default=8,
+                    help="max clean samples harvested per scene")
+    ap.add_argument("--scenes-per-batch", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--weights", default=os.path.join(
+        REPO, "models", "synthetic_v3", "weights_inference.npz"))
+    ap.add_argument("--out", default=os.path.join(REPO, "results_r5",
+                                                  "corpus"))
+    ap.add_argument("--shard-scenes", type=int, default=512,
+                    help="scenes per output shard (crash-safe increments)")
+    ap.add_argument("--audit", type=int, default=200,
+                    help="oracle-audit this many harvested samples")
+    ap.add_argument("--scene-pool-npz", default=None,
+                    help="reuse a pre-generated scene pool")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from edmp_tpu import planner as P
+    from edmp_tpu.config import (CFG1_GUIDE_IDS, pack_ensemble,
+                                 reference_guide_configs)
+    from edmp_tpu.costs.obstacles import pack_scene, stack_scenes
+    from edmp_tpu.data.problems import PackedDataset
+    from edmp_tpu.diffusion.schedule import make_schedule
+    from edmp_tpu.models import temporal_unet as tu
+    from edmp_tpu.robot import ik as IK
+    from edmp_tpu.utils.checkpoint import load_inference_weights
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    pool_path = args.scene_pool_npz or os.path.join(args.out, "scenes.npz")
+    if os.path.exists(pool_path):
+        dataset = PackedDataset.load(pool_path)
+        print(f"loaded scene pool: {len(dataset)} scenes from {pool_path}",
+              flush=True)
+    else:
+        dataset = build_scene_pool(rng, args.scenes,
+                                   log=lambda *a: print(*a, flush=True))
+        dataset.save(pool_path)
+        print(f"scene pool -> {pool_path}", flush=True)
+
+    model = tu.create_model()
+    params = jax.tree.map(jnp.asarray, load_inference_weights(args.weights))
+    T = 255
+    sch = make_schedule(T)
+    # fast quality-matched mode with safety-aware selection so the device
+    # emits the violation mask we harvest on
+    plan_cfg = P.PlannerConfig(batch_size=120, sampler="ddim", ddim_steps=16,
+                               ddim_guidance_period=2, sc_filter_goals=True,
+                               safety_aware_selection=True)
+    gp, _ = pack_ensemble(reference_guide_configs(CFG1_GUIDE_IDS), 10, T)
+    plan_fn = P.make_batched_plan_fn(model, sch, plan_cfg)
+    ik_fn = jax.jit(jax.vmap(lambda t, s: tuple(map(
+        lambda a: a.reshape((-1,) + a.shape[2:]),
+        IK.analytic_ik_batch(t, s)))))
+
+    Sb = args.scenes_per_batch
+    o_pad = int(dataset.n_obstacles.max())
+    o_pad = max(-(-o_pad // 4) * 4, 4)
+
+    n_kept = 0
+    n_scenes_with = 0
+    shard_trajs, shard_sids = [], []
+    shard_id = 0
+    t_start = time.time()
+
+    def flush_shard():
+        nonlocal shard_id, shard_trajs, shard_sids
+        if not shard_trajs:
+            return
+        path = os.path.join(args.out, f"trajs_{shard_id:03d}.npz")
+        np.savez_compressed(
+            path,
+            trajectories=np.concatenate(shard_trajs).astype(np.float32),
+            scene_id=np.concatenate(shard_sids).astype(np.int32))
+        print(f"shard {shard_id}: {sum(len(t) for t in shard_trajs)} "
+              f"trajs -> {path}", flush=True)
+        shard_id += 1
+        shard_trajs, shard_sids = [], []
+
+    indices = np.arange(len(dataset))
+    done_scenes = 0
+    for lo in range(0, len(indices), Sb):
+        chunk = indices[lo:lo + Sb]
+        pad = Sb - len(chunk)
+        idx = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+        scenes = stack_scenes(
+            [pack_scene(dataset.scene_obstacle_config(int(i)),
+                        max_obstacles=o_pad) for i in idx])
+        starts = jnp.asarray(dataset.q0[idx], jnp.float32)
+        targets = jnp.asarray(dataset.target[idx], jnp.float32)
+        seeds = rng.uniform(-2.8973, 2.8973, (len(idx), 64))
+        goals, valid = ik_fn(targets, jnp.asarray(seeds, jnp.float32))
+        key = jax.random.fold_in(jax.random.key(args.seed), int(chunk[0]))
+        res = plan_fn(params, scenes, gp, starts, goals, valid, key)
+        trajs = np.asarray(res.trajectories)       # (S, B, N, 7)
+        masks = np.asarray(res.violation_mask)     # (S, B)
+        costs = np.asarray(res.swept_costs)        # (S, B) raw swept
+        for row, scene_i in enumerate(chunk):
+            clean = np.nonzero((masks[row] == 0) & (costs[row] <= 0.0))[0]
+            if len(clean) == 0:
+                continue
+            keep = clean[:args.per_scene]
+            shard_trajs.append(trajs[row, keep])
+            shard_sids.append(np.full(len(keep), scene_i, np.int32))
+            n_kept += len(keep)
+            n_scenes_with += 1
+        done_scenes += len(chunk)
+        if done_scenes % args.shard_scenes < Sb:
+            flush_shard()
+        if lo // Sb % 16 == 0:
+            rate = done_scenes / max(time.time() - t_start, 1e-9)
+            print(f"{done_scenes}/{len(indices)} scenes, kept {n_kept} "
+                  f"({n_scenes_with} scenes yielded), {rate:.1f} scenes/s",
+                  flush=True)
+    flush_shard()
+
+    # oracle audit: the zero-swept-volume guarantee, spot-checked
+    from edmp_tpu.validation.oracle import TrajectoryOracle
+
+    oracle = TrajectoryOracle(substeps=8)
+    shards = sorted(f for f in os.listdir(args.out)
+                    if f.startswith("trajs_"))
+    all_sid, all_traj = [], []
+    for f in shards:
+        z = np.load(os.path.join(args.out, f))
+        all_sid.append(z["scene_id"])
+        all_traj.append(z["trajectories"])
+    sids = np.concatenate(all_sid)
+    trajs = np.concatenate(all_traj)
+    audit_n = min(args.audit, len(sids))
+    audit_idx = np.random.default_rng(1).choice(len(sids), audit_n,
+                                                replace=False)
+    bad = 0
+    for i in audit_idx:
+        ok, _ = oracle.validate(
+            trajs[i], dataset.scene_obstacle_config(int(sids[i])))
+        bad += not ok
+    summary = {
+        "scenes": len(dataset), "scenes_with_clean": n_scenes_with,
+        "trajectories": int(len(sids)),
+        "per_scene_cap": args.per_scene,
+        "oracle_audit": {"n": audit_n, "collisions": int(bad)},
+        "wall_s": round(time.time() - t_start, 1),
+        "weights": args.weights,
+        "sampler": "ddim16_p2_safe",
+    }
+    with open(os.path.join(args.out, "corpus.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
