@@ -35,6 +35,12 @@ def main(argv=None):
                     help="pre-generate this many batches and cycle them: "
                     "host-side cloud sampling is ~100 ms/example, which "
                     "starves the device when generated per step")
+    ap.add_argument("--corpus", default=None,
+                    help="behavior-clone a planner-distilled corpus "
+                    "(tools/distill.py output dir) instead of synthetic "
+                    "one-step batches; adds the target point-cloud segment")
+    ap.add_argument("--target-points", type=int, default=128,
+                    help="target-segment cloud size (corpus mode)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -47,7 +53,19 @@ def main(argv=None):
                                         make_validate_fn, save_policy_params)
 
     rng = np.random.default_rng(args.seed)
-    n_points = args.robot_points + args.obstacle_points
+    batcher = None
+    if args.corpus:
+        from edmp_tpu.data.pointcloud import CorpusPolicyBatcher
+
+        batcher = CorpusPolicyBatcher(
+            args.corpus, num_robot_points=args.robot_points,
+            num_obstacle_points=args.obstacle_points - args.target_points,
+            num_target_points=args.target_points, seed=args.seed)
+        print(f"corpus: {len(batcher.trajs)} trajectories over "
+              f"{len(batcher.scenes)} scenes")
+        n_points = batcher.num_points
+    else:
+        n_points = args.robot_points + args.obstacle_points
     model, params = init_policy(jax.random.key(args.seed),
                                 num_points=n_points)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -65,21 +83,36 @@ def main(argv=None):
     # batch, which would make avg_target_error an in-sample metric
     val_fn = None
     val_batch = None
+    def make_batch(r):
+        if batcher is not None:
+            return {k: jnp.asarray(v)
+                    for k, v in batcher.batch(args.batch).items()}
+        return {k: jnp.asarray(v) for k, v in policy_batch(
+            r, args.batch, num_robot_points=args.robot_points,
+            num_obstacle_points=args.obstacle_points).items()}
+
     if args.validate_every:
         val_fn = make_validate_fn(model, rollout_length=args.rollout_length,
                                   num_robot_points=args.robot_points)
-        val_rng = np.random.default_rng((args.seed, 0xA1))
-        val_batch = {k: jnp.asarray(v) for k, v in policy_batch(
-            val_rng, args.batch, num_robot_points=args.robot_points,
-            num_obstacle_points=args.obstacle_points).items()}
+        if batcher is not None:
+            from edmp_tpu.data.pointcloud import CorpusPolicyBatcher
+
+            val_batcher = CorpusPolicyBatcher(
+                args.corpus, num_robot_points=args.robot_points,
+                num_obstacle_points=args.obstacle_points - args.target_points,
+                num_target_points=args.target_points, seed=args.seed + 101)
+            val_batch = {k: jnp.asarray(v)
+                         for k, v in val_batcher.batch(args.batch).items()}
+        else:
+            val_rng = np.random.default_rng((args.seed, 0xA1))
+            val_batch = {k: jnp.asarray(v) for k, v in policy_batch(
+                val_rng, args.batch, num_robot_points=args.robot_points,
+                num_obstacle_points=args.obstacle_points).items()}
 
     pool = None
     if args.batch_pool:
         t0 = time.time()
-        pool = [{k: jnp.asarray(v) for k, v in policy_batch(
-            rng, args.batch, num_robot_points=args.robot_points,
-            num_obstacle_points=args.obstacle_points).items()}
-            for _ in range(args.batch_pool)]
+        pool = [make_batch(rng) for _ in range(args.batch_pool)]
         print(f"pool: {args.batch_pool} batches in {time.time() - t0:.0f}s",
               flush=True)
 
@@ -89,9 +122,7 @@ def main(argv=None):
         if pool is not None:
             batch = pool[i % len(pool)]
         else:
-            batch = {k: jnp.asarray(v) for k, v in policy_batch(
-                rng, args.batch, num_robot_points=args.robot_points,
-                num_obstacle_points=args.obstacle_points).items()}
+            batch = make_batch(rng)
         state, log = step(state, batch)
         window.append(float(log["val_loss"]))
         if (i + 1) % args.log_every == 0:

@@ -148,3 +148,130 @@ def policy_batch(rng: np.random.Generator, batch_size: int,
         # synthetic rows carry xyzw; the batch schema is wxyz
         out["cuboid_quats"][b, :m] = np.roll(oc[:, 3:7], 1, axis=-1)
     return out
+
+
+def target_region_cloud(position: np.ndarray, num_points: int,
+                        rng: np.random.Generator,
+                        radius: float = 0.03) -> np.ndarray:
+    """Target-segment cloud: points on a small sphere at the goal position.
+
+    MPiNets' observation carries the TARGET as its own point-cloud segment
+    (the original pipeline renders gripper points at the goal pose; the
+    reference snapshot ships only the model, whose docstring fixes the
+    '3 geometric dims + segmentation mask' layout, mpinets/model.py:75-91).
+    Without a target segment the policy is goal-blind — the round-4
+    head-to-head's 0% traces partly to exactly that.  A sphere shell at the
+    goal position with segmentation id 0.5 (distinct from robot 0 and
+    obstacles >= 1) carries the same information without needing gripper
+    meshes.
+    """
+    d = rng.normal(size=(num_points, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+    out = np.empty((num_points, 4), np.float32)
+    out[:, :3] = np.asarray(position) + radius * d
+    out[:, 3] = 0.5
+    return out
+
+
+class CorpusPolicyBatcher:
+    """Behavior-cloning batches from a planner-distilled corpus
+    (tools/distill.py shards + its scene pool).
+
+    Each example is one (q_t -> q_{t+1}) step of a validated collision-free
+    planner trajectory, with the MPiNets observation layout:
+    ``[robot cloud at q_t (seg 0) | obstacle cloud (seg >= 1) | target
+    sphere cloud (seg 0.5)]``; ``target_position`` is the EE position of the
+    trajectory's FINAL waypoint.  Obstacle clouds are sampled once per scene
+    and cached (the dominant host cost).
+    """
+
+    def __init__(self, corpus_dir: str, num_robot_points: int = 1024,
+                 num_obstacle_points: int = 896,
+                 num_target_points: int = 128,
+                 max_cuboids: int = 16, seed: int = 0):
+        import glob
+        import os
+
+        from edmp_tpu.data.problems import PackedDataset
+        from edmp_tpu.robot.kinematics import numpy_ee_transform
+
+        shards = sorted(glob.glob(os.path.join(corpus_dir, "trajs_*.npz")))
+        if not shards:
+            raise FileNotFoundError(f"no trajs_*.npz under {corpus_dir}")
+        self.trajs = np.concatenate(
+            [np.load(p)["trajectories"] for p in shards]).astype(np.float32)
+        self.sids = np.concatenate([np.load(p)["scene_id"] for p in shards])
+        self.scenes = PackedDataset.load(
+            os.path.join(corpus_dir, "scenes.npz"))
+        self.n_robot = num_robot_points
+        self.n_obs = num_obstacle_points
+        self.n_tgt = num_target_points
+        self.max_cuboids = max_cuboids
+        self.rng = np.random.default_rng(seed)
+        self.sampler = RobotPointSampler(num_robot_points)
+        self._cloud_cache: Dict[int, np.ndarray] = {}
+        # goal EE position per trajectory (host FK, vectorized)
+        self.goal_pos = np.stack(
+            [numpy_ee_transform(t[-1])[:3, 3] for t in self.trajs]
+        ).astype(np.float32)
+
+    @property
+    def num_points(self) -> int:
+        return self.n_robot + self.n_obs + self.n_tgt
+
+    def _obstacle_cloud(self, sid: int) -> np.ndarray:
+        if sid not in self._cloud_cache:
+            oc = self.scenes.scene_obstacle_config(int(sid))
+            pc = construct_mixed_point_cloud(oc, self.n_obs, rng=self.rng)
+            if len(pc) < self.n_obs:  # empty scene: pad FAR away, obstacle id
+                pad = np.full((self.n_obs - len(pc), 4), 100.0, np.float32)
+                pad[:, 3] = 1.0
+                pc = np.concatenate([pc, pad]) if len(pc) else pad
+            self._cloud_cache[int(sid)] = pc
+        return self._cloud_cache[int(sid)]
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        rng = self.rng
+        n_pts = self.num_points
+        out = {
+            "xyz": np.zeros((batch_size, n_pts, 4), np.float32),
+            "configuration": np.zeros((batch_size, 7), np.float32),
+            "supervision": np.zeros((batch_size, 7), np.float32),
+            "target_position": np.zeros((batch_size, 3), np.float32),
+            "cuboid_centers": np.zeros((batch_size, self.max_cuboids, 3),
+                                       np.float32),
+            "cuboid_dims": np.zeros((batch_size, self.max_cuboids, 3),
+                                    np.float32),
+            "cuboid_quats": np.zeros((batch_size, self.max_cuboids, 4),
+                                     np.float32),
+            "cylinder_centers": np.zeros((batch_size, 1, 3), np.float32),
+            "cylinder_radii": np.zeros((batch_size, 1, 1), np.float32),
+            "cylinder_heights": np.zeros((batch_size, 1, 1), np.float32),
+            "cylinder_quats": np.zeros((batch_size, 1, 4), np.float32),
+        }
+        out["cuboid_quats"][..., 0] = 1.0  # identity wxyz for padded rows
+        out["cylinder_quats"][..., 0] = 1.0
+        ti = rng.integers(0, len(self.trajs), batch_size)
+        N = self.trajs.shape[1]
+        wi = rng.integers(0, N - 1, batch_size)
+        # robot clouds in one device call (RobotPointSampler is vmap-able)
+        q_now = self.trajs[ti, wi]                        # (B, 7)
+        q_next = self.trajs[ti, wi + 1]
+        robot_pc = np.asarray(self.sampler(q_now))        # (B, P, 3)
+        for b in range(batch_size):
+            sid = int(self.sids[ti[b]])
+            out["configuration"][b] = normalize_joints(q_now[b])
+            out["supervision"][b] = np.clip(
+                normalize_joints(q_next[b]), -1, 1)
+            out["target_position"][b] = self.goal_pos[ti[b]]
+            out["xyz"][b, :self.n_robot, :3] = robot_pc[b]
+            out["xyz"][b, self.n_robot:self.n_robot + self.n_obs] = \
+                self._obstacle_cloud(sid)
+            out["xyz"][b, self.n_robot + self.n_obs:] = target_region_cloud(
+                self.goal_pos[ti[b]], self.n_tgt, rng)
+            oc = self.scenes.scene_obstacle_config(sid)[:self.max_cuboids]
+            m = len(oc)
+            out["cuboid_centers"][b, :m] = oc[:, :3]
+            out["cuboid_dims"][b, :m] = oc[:, 7:10]
+            out["cuboid_quats"][b, :m] = np.roll(oc[:, 3:7], 1, axis=-1)
+        return out

@@ -103,14 +103,14 @@ class Evaluator:
         region rows from PackedDataset; when given, the reference's
         check_final_region term participates in success.
         """
-        import jax.numpy as jnp
-
         from edmp_tpu.metrics.region import check_final_region, has_region
-        from edmp_tpu.robot.kinematics import ee_transform
+        from edmp_tpu.robot.kinematics import numpy_ee_transform
 
         traj = np.asarray(trajectory, np.float64)
-        T_final = np.asarray(
-            ee_transform(jnp.asarray(traj[-1], jnp.float32)), np.float64)
+        # host numpy FK: the evaluator runs on the validator thread, where an
+        # eager jnp op would be a remote dispatch per scene on tunneled
+        # backends (and contend with the in-flight plan program)
+        T_final = numpy_ee_transform(traj[-1])
         pos_err = float(np.linalg.norm(T_final[:3, 3] - target_pose[:3, 3]))
         ori_err = orientation_error_deg(T_final[:3, :3], target_pose[:3, :3])
 

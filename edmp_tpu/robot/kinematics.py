@@ -160,6 +160,45 @@ def fk_positions(joints):
     return p
 
 
+def numpy_link_box_frames(joints: np.ndarray):
+    """Pure-numpy twin of :func:`link_box_frames`, batched over leading dims.
+
+    (..., 7) -> (R (..., 9, 3, 3), p (..., 9, 3)), float64.  Host-side scene
+    generators and validators MUST use this instead of the JAX version: on a
+    remote (tunneled) backend every eager jnp op in a host loop is a remote
+    dispatch, which made the round-5 corpus generator ~50x slower than the
+    math itself.
+    """
+    joints = np.asarray(joints, np.float64)
+    batch = joints.shape[:-1]
+    R = np.broadcast_to(np.eye(3), batch + (3, 3)).copy()
+    p = np.zeros(batch + (3,))
+    Rs, ps = [], []
+    for i in range(C.NUM_JOINTS):
+        a, d, alpha, off = C.DH_PARAMS[i]
+        q = joints[..., i] + off
+        ca, sa, cq, sq = np.cos(alpha), np.sin(alpha), np.cos(q), np.sin(q)
+        zeros, ones = np.zeros_like(cq), np.ones_like(cq)
+        Ri = np.stack([
+            np.stack([cq, -sq, zeros], axis=-1),
+            np.stack([sq * ca, cq * ca, -sa * ones], axis=-1),
+            np.stack([sq * sa, cq * sa, ca * ones], axis=-1),
+        ], axis=-2)
+        pi = np.stack([a * ones, -sa * d * ones, ca * d * ones], axis=-1)
+        p = p + np.einsum("...ij,...j->...i", R, pi)
+        R = np.einsum("...ij,...jk->...ik", R, Ri)
+        Rs.append(R)
+        ps.append(p)
+    Rs += [R, R]  # hand + finger share the joint-7 frame
+    ps += [p, p]
+    Rj = np.stack(Rs, axis=-3)
+    pj = np.stack(ps, axis=-2)
+    Fs = np.asarray(C.LINK_STATIC_FRAMES, np.float64)
+    Rb = np.einsum("...lij,ljk->...lik", Rj, Fs[:, :3, :3])
+    pb = pj + np.einsum("...lij,lj->...li", Rj, Fs[:, :3, 3])
+    return Rb, pb
+
+
 def numpy_ee_transform(joints: np.ndarray) -> np.ndarray:
     """Float64 numpy reference FK (single config) for golden-value tests.
 

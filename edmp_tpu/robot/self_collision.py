@@ -90,12 +90,13 @@ def min_pair_clearance(trajectory: np.ndarray) -> np.ndarray:
 
     Negative entries are self-collisions.
     """
-    import jax.numpy as jnp
+    # pure-numpy FK: this runs inside host-side rejection/validation loops,
+    # where eager jnp ops on a remote (tunneled) backend are one remote
+    # dispatch EACH (verify skill gotcha; cost measured in round 5's corpus
+    # generator)
+    from edmp_tpu.robot.kinematics import numpy_link_box_frames
 
-    from edmp_tpu.robot.kinematics import link_box_frames
-
-    R, p = link_box_frames(jnp.asarray(trajectory, jnp.float32))
-    R, p = np.asarray(R, np.float64), np.asarray(p, np.float64)
+    R, p = numpy_link_box_frames(np.asarray(trajectory, np.float64))
     a0, a1 = capsule_endpoints(R, p)                      # (N, 9, 3)
     d = segment_distance(a0[:, _PI], a1[:, _PI], a0[:, _PJ], a1[:, _PJ])
     return d - (CAPSULE_RADIUS[_PI] + CAPSULE_RADIUS[_PJ])[None, :]

@@ -84,6 +84,10 @@ def main(argv=None):
                     help="scenes per output shard (crash-safe increments)")
     ap.add_argument("--audit", type=int, default=200,
                     help="oracle-audit this many harvested samples")
+    ap.add_argument("--oracle-checks", type=int, default=24,
+                    help="per scene: oracle-validate up to this many "
+                    "capsule/limit-clean, lowest-swept-cost samples beyond "
+                    "the provably-clean set")
     ap.add_argument("--scene-pool-npz", default=None,
                     help="reuse a pre-generated scene pool")
     args = ap.parse_args(argv)
@@ -134,6 +138,10 @@ def main(argv=None):
     o_pad = int(dataset.n_obstacles.max())
     o_pad = max(-(-o_pad // 4) * 4, 4)
 
+    from edmp_tpu.validation.oracle import TrajectoryOracle
+
+    harvest_oracle = TrajectoryOracle(substeps=8)
+
     n_kept = 0
     n_scenes_with = 0
     shard_trajs, shard_sids = [], []
@@ -174,9 +182,27 @@ def main(argv=None):
         costs = np.asarray(res.swept_costs)        # (S, B) raw swept
         for row, scene_i in enumerate(chunk):
             clean = np.nonzero((masks[row] == 0) & (costs[row] <= 0.0))[0]
-            if len(clean) == 0:
+            keep = list(clean[:args.per_scene])
+            if len(keep) < args.per_scene:
+                # oracle-fallback harvest: the zero-swept guarantee is
+                # CONSERVATIVE (AABB hulls); capsule/limit-clean samples
+                # with small positive swept cost are often truly
+                # collision-free — exactly the hard-scene examples the
+                # corpus needs most.  Check the best few with the C++
+                # oracle (~0.4 ms each).
+                sc_jl_clean = (masks[row] & 3) == 0
+                cand = [i for i in np.argsort(costs[row])
+                        if sc_jl_clean[i] and costs[row][i] > 0.0]
+                obs_cfg = dataset.scene_obstacle_config(int(scene_i))
+                for i in cand[:args.oracle_checks]:
+                    ok, _ = harvest_oracle.validate(trajs[row, i], obs_cfg)
+                    if ok:
+                        keep.append(i)
+                        if len(keep) >= args.per_scene:
+                            break
+            if not keep:
                 continue
-            keep = clean[:args.per_scene]
+            keep = np.asarray(keep)
             shard_trajs.append(trajs[row, keep])
             shard_sids.append(np.full(len(keep), scene_i, np.int32))
             n_kept += len(keep)

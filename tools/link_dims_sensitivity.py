@@ -42,12 +42,21 @@ from edmp_tpu.parallel.sweep import SweepConfig, run_sweep
 from edmp_tpu.utils.checkpoint import load_inference_weights
 
 tag, scenes, seed, weights, results_dir = sys.argv[1:6]
+bump = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
+envw = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
 ds = synthetic_packed_dataset(np.random.default_rng(int(seed)), int(scenes))
 model = tu.create_model()
 params = jax.tree.map(jnp.asarray, load_inference_weights(weights))
 sch = make_schedule(255)
 cfg = P.PlannerConfig(batch_size=120)
 gp, _ = pack_ensemble(reference_guide_configs(CFG1_GUIDE_IDS), 10, 255)
+# conservative-margin mode (r5): additive clearance bump on every guide's
+# schedule, optionally plus the exact-SDF clearance hinge — the mitigation
+# the round-4 sensitivity study lacked
+if bump:
+    gp = gp._replace(clearance=gp.clearance + bump)
+if envw:
+    gp = gp._replace(env_clearance_weight=jnp.full(120, envw, jnp.float32))
 scfg = SweepConfig(results_dir=results_dir, full_evaluation=True,
                    seed=int(seed))
 st = run_sweep(model, params, sch, gp, ds, cfg, scfg, tag=tag,
@@ -62,14 +71,15 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_child(tag, scale, scenes, seed, weights, results_dir, timeout):
+def run_child(tag, scale, scenes, seed, weights, results_dir, timeout,
+              bump=0.0, envw=0.0):
     env = dict(os.environ)
     if scale is not None:
         env["EDMP_LINK_DIMS_SCALE"] = scale
     try:
         p = subprocess.run(
             [sys.executable, "-c", _CHILD, tag, str(scenes), str(seed),
-             weights, results_dir],
+             weights, results_dir, str(bump), str(envw)],
             env=env, cwd=REPO, capture_output=True, text=True,
             timeout=timeout)
     except subprocess.TimeoutExpired:
@@ -84,6 +94,65 @@ def run_child(tag, scale, scenes, seed, weights, results_dir, timeout):
     return None
 
 
+def margin_mode(args, spool_dir):
+    """Conservative-margin mitigation arms (r5 verdict #7).
+
+    World model: the real link dims come in 10% larger than the vendored
+    table (EDMP_LINK_DIMS_SCALE=1.1 — guidance, capsules AND oracle all see
+    the bigger robot, exactly as a corrected vendored table would).  Round 4
+    measured that costs ~13pt strict with stock guide schedules.  The
+    mitigation: plan with an additive clearance bump (and optionally the
+    exact-SDF clearance hinge).  The same margin at scale 1.0 prices the
+    base-rate cost of shipping the margin preemptively.
+    """
+    arms = [
+        ("m_base", None, 0.0, 0.0),
+        ("m_g11", "1.1", 0.0, 0.0),
+        ("m_g11_b01", "1.1", 0.01, 0.0),
+        ("m_g11_b02", "1.1", 0.02, 0.0),
+        ("m_g11_b02_env", "1.1", 0.02, 0.25),
+        ("m_b02", None, 0.02, 0.0),          # base-rate cost of the margin
+    ]
+    results = {}
+    for tag, scale, bump, envw in arms:
+        out = run_child(tag, scale, args.scenes, args.seed, args.weights,
+                        spool_dir, args.timeout, bump=bump, envw=envw)
+        if out is None:
+            continue
+        n = len(out["per_scene_protocol"])
+        results[tag] = {
+            "scale": scale or "1.0", "clearance_bump": bump, "envw": envw,
+            "protocol_pct": 100.0 * sum(out["per_scene_protocol"]) / n,
+            "oracle_pct": 100.0 * sum(out["per_scene_oracle"]) / n,
+        }
+        print(json.dumps({"tag": tag, **results[tag]}), flush=True)
+
+    with open(os.path.join(args.results_dir,
+                           "link_dims_margin.json"), "w") as f:
+        json.dump({"scenes": args.scenes, "seed": args.seed,
+                   "weights": args.weights, "arms": results}, f, indent=1)
+
+    lines = [
+        "", "## Conservative-margin mitigation (round 5)", "",
+        f"World model: real dims = vendored x1.1 everywhere (guidance, "
+        f"capsules, oracle).  Mitigation: additive clearance bump on every "
+        f"guide schedule (`--clearance-bump`), optionally + the exact-SDF "
+        f"clearance hinge (`--assist-clear`).  {args.scenes} scenes, "
+        f"model `{os.path.relpath(args.weights, REPO)}`.", "",
+        "| arm | dims scale | clearance bump | SDF hinge w | strict % | "
+        "oracle % |", "|---|---|---|---|---|---|",
+    ]
+    for tag, r in results.items():
+        lines.append(f"| {tag} | {r['scale']} | {r['clearance_bump']} | "
+                     f"{r['envw']} | {r['protocol_pct']:.1f} | "
+                     f"{r['oracle_pct']:.1f} |")
+    with open(os.path.join(REPO, "docs", "link_dims_sensitivity.md"),
+              "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("margin table appended to docs/link_dims_sensitivity.md")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="link_dims_sensitivity")
     ap.add_argument("--scenes", type=int, default=128)
@@ -96,11 +165,19 @@ def main(argv=None):
                     "(5=forearm box, hand, finger)")
     ap.add_argument("--timeout", type=int, default=1800)
     ap.add_argument("--results-dir", default=os.path.join(REPO, "results_r4"))
+    ap.add_argument("--margin-mode", action="store_true",
+                    help="run the conservative-margin mitigation arms "
+                    "(clearance bump under +10%% dims growth) instead of "
+                    "the r4 perturbation grid; appends a mitigation table "
+                    "to docs/link_dims_sensitivity.md")
     args = ap.parse_args(argv)
 
     os.makedirs(args.results_dir, exist_ok=True)
     spool_dir = os.path.join(args.results_dir, "link_dims")
     os.makedirs(spool_dir, exist_ok=True)
+
+    if args.margin_mode:
+        return margin_mode(args, spool_dir)
 
     runs = [("dims_base", None)]
     for s in [float(x) for x in args.global_scales.split(",") if x]:

@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--rollout-length", type=int, default=69)
     ap.add_argument("--robot-points", type=int, default=1024)
     ap.add_argument("--obstacle-points", type=int, default=1024)
+    ap.add_argument("--target-points", type=int, default=128,
+                    help="target-segment cloud size (carved out of "
+                    "--obstacle-points; 0 = round-4 goal-blind layout)")
     ap.add_argument("--diffusion-spools", default=os.path.join(
         REPO, "results_r4", "sweep_v2_assist_base.jsonl") + "," + os.path.join(
         REPO, "results_r4", "sweep_v2_safe_only.jsonl"))
@@ -69,9 +72,14 @@ def main(argv=None):
     model, _ = init_policy(jax.random.key(0), num_points=n_pts)
     params = load_policy_params(args.params, num_points=n_pts)
 
-    # observations (host-side assembly, mpinets/model.py:198-221 schema)
+    # observations (host-side assembly, mpinets/model.py:198-221 schema,
+    # plus the target segment when --target-points > 0 — matching the
+    # corpus-trained policy's observation layout)
+    from edmp_tpu.data.pointcloud import target_region_cloud
+
     rng = np.random.default_rng(args.seed)
     sampler = RobotPointSampler(args.robot_points)
+    n_obs = args.obstacle_points - args.target_points
     xyz = np.zeros((S, n_pts, 4), np.float32)
     q0n = np.zeros((S, 7), np.float32)
     for i in range(S):
@@ -79,8 +87,12 @@ def main(argv=None):
         q0n[i] = normalize_joints(q0)
         xyz[i, :args.robot_points, :3] = np.asarray(sampler(q0))
         oc = dataset.scene_obstacle_config(i)
-        pc = construct_mixed_point_cloud(oc, args.obstacle_points, rng=rng)
+        pc = construct_mixed_point_cloud(oc, n_obs, rng=rng)
         xyz[i, args.robot_points:len(pc) + args.robot_points] = pc
+        if args.target_points:
+            xyz[i, args.robot_points + n_obs:] = target_region_cloud(
+                np.asarray(dataset.target[i])[:3, 3], args.target_points,
+                rng)
 
     roll = jax.jit(
         lambda p, x, q: make_rollout_fn(model, args.robot_points)(
