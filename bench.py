@@ -446,11 +446,25 @@ def run_suite(reps, quick=False):
         _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
                                "pallas"], (17, 19)),
         # guidance-share A/B: every guided step disabled
-        _alt_scenes(lambda s: ["--scenes", str(s), "--no-guidance"], (6, 7)),
+        _alt_scenes(lambda s: ["--scenes", str(s), "--no-guidance"],
+                    (21, 22)),
+        # guidance structure with zero gradient math (dispatch-cost probe)
+        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
+                               "noop"], (21, 22)),
+        # safety mode overhead at the headline fold
+        _alt_scenes(lambda s: ["--scenes", str(s), "--safe"], (21, 22)),
         # bf16 and DDIM variants
         _alt_scenes(lambda s: ["--scenes", str(s), "--bf16"], (6, 7)),
         _alt_scenes(
-            lambda s: ["--scenes", str(s), "--sampler", "ddim"], (6, 7)),
+            lambda s: ["--scenes", str(s), "--sampler", "ddim"], (21, 22)),
+        # quality-matched fast mode (docs/ddim_cadence.md) + its safe variant
+        _alt_scenes(lambda s: ["--scenes", str(s), "--sampler", "ddim",
+                               "--ddim-steps", "16",
+                               "--ddim-guidance-period", "2"], (21, 22)),
+        _alt_scenes(lambda s: ["--scenes", str(s), "--sampler", "ddim",
+                               "--ddim-steps", "16",
+                               "--ddim-guidance-period", "2", "--safe"],
+                    (21, 22)),
     ]
     return _run_specs(specs, reps)
 
