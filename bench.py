@@ -430,33 +430,10 @@ def run_suite(reps, quick=False):
                         (21, 22)),
         ]
         return _run_specs(specs, reps)
+    # README-critical headline rows FIRST: the file is written after every
+    # config, so a wall-clock truncation still leaves the table's rows
     specs = [
-        _alt_scenes(lambda s: ["--scenes", str(s)], (6, 7)),
-        _alt_scenes(lambda s: ["--scenes", str(s)], (9, 10)),
-        _alt_scenes(lambda s: ["--scenes", str(s)], (17, 19)),
         _alt_scenes(lambda s: ["--scenes", str(s)], (21, 25)),
-        # BASELINE 'single scene, 1000+ trajectories'
-        [["--scenes", "1", "--batch", "1200"],
-         ["--scenes", "1", "--batch", "1216"]],
-        # Pallas fused-conv A/B
-        _alt_scenes(lambda s: ["--scenes", str(s), "--use-pallas"], (6, 7)),
-        # fused Pallas guidance-gradient kernel A/B (costs/pallas_grad.py)
-        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
-                               "pallas"], (6, 7)),
-        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
-                               "pallas"], (17, 19)),
-        # guidance-share A/B: every guided step disabled
-        _alt_scenes(lambda s: ["--scenes", str(s), "--no-guidance"],
-                    (21, 22)),
-        # guidance structure with zero gradient math (dispatch-cost probe)
-        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
-                               "noop"], (21, 22)),
-        # safety mode overhead at the headline fold
-        _alt_scenes(lambda s: ["--scenes", str(s), "--safe"], (21, 22)),
-        # bf16 and DDIM variants
-        _alt_scenes(lambda s: ["--scenes", str(s), "--bf16"], (6, 7)),
-        _alt_scenes(
-            lambda s: ["--scenes", str(s), "--sampler", "ddim"], (21, 22)),
         # quality-matched fast mode (docs/ddim_cadence.md) + its safe variant
         _alt_scenes(lambda s: ["--scenes", str(s), "--sampler", "ddim",
                                "--ddim-steps", "16",
@@ -465,6 +442,31 @@ def run_suite(reps, quick=False):
                                "--ddim-steps", "16",
                                "--ddim-guidance-period", "2", "--safe"],
                     (21, 22)),
+        # safety mode overhead at the headline fold
+        _alt_scenes(lambda s: ["--scenes", str(s), "--safe"], (21, 22)),
+        # BASELINE 'single scene, 1000+ trajectories'
+        [["--scenes", "1", "--batch", "1200"],
+         ["--scenes", "1", "--batch", "1216"]],
+        # guidance-share A/B: every guided step disabled
+        _alt_scenes(lambda s: ["--scenes", str(s), "--no-guidance"],
+                    (21, 22)),
+        # guidance structure with zero gradient math (dispatch-cost probe)
+        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
+                               "noop"], (21, 22)),
+        _alt_scenes(
+            lambda s: ["--scenes", str(s), "--sampler", "ddim"], (21, 22)),
+        # S-scaling
+        _alt_scenes(lambda s: ["--scenes", str(s)], (17, 19)),
+        _alt_scenes(lambda s: ["--scenes", str(s)], (6, 7)),
+        _alt_scenes(lambda s: ["--scenes", str(s)], (9, 10)),
+        # fused Pallas guidance-gradient kernel A/B (costs/pallas_grad.py)
+        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
+                               "pallas"], (17, 19)),
+        _alt_scenes(lambda s: ["--scenes", str(s), "--guidance-engine",
+                               "pallas"], (6, 7)),
+        # bf16, Pallas fused-conv A/B
+        _alt_scenes(lambda s: ["--scenes", str(s), "--bf16"], (6, 7)),
+        _alt_scenes(lambda s: ["--scenes", str(s), "--use-pallas"], (6, 7)),
     ]
     return _run_specs(specs, reps)
 
